@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Graph queries run over deterministic edge tables derived from the
+``documents`` testdata table (webgraph_ans_rs_spark/plans/derived_graph.py)
+so DuckDB can regenerate the identical graph — see FIXTURES.md §5.
 """
 
 from __future__ import annotations
@@ -12,27 +15,146 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webgraph_ans_rs_spark.operators.components import connected_components
+from webgraph_ans_rs_spark.operators.degrees import (
+    degree_distribution,
+    indegrees,
+    outdegrees,
+)
+from webgraph_ans_rs_spark.operators.graph_build import build_csr_adjacency
+from webgraph_ans_rs_spark.operators.labelprop import label_propagation
+from webgraph_ans_rs_spark.operators.pagerank import pagerank
+from webgraph_ans_rs_spark.operators.triangles import (
+    triangle_count,
+    triangles_per_vertex,
+)
+from webgraph_ans_rs_spark.plans import derived_graph as dg
+from webgraph_ans_rs_spark.plans import oracles
+from webgraph_ans_rs_spark.sources.tables import load_table
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+PAGERANK_ITERS = 5
+LP_ITERS = 2
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    return dg.hash_edges(docs, n), dg.vertices(docs)
+
+
+def _clustered(spark: SparkSession, sf_dir: str):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    return dg.clustered_edges(docs, n), dg.vertices(docs)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the derived web graph at sf0.001, run 5-superstep
+    PageRank, return top-20 (vertex, pr, outdeg)."""
+    edges, verts = _graph(spark, SMOKE_SF_DIR)
+    result = pagerank(edges, verts, max_iter=PAGERANK_ITERS, tol=None)
+    deg = outdegrees(edges, verts)
+    return (
+        result.ranks.join(deg, "vertex")
+        .orderBy(F.desc("pr"), F.asc("vertex"))
+        .limit(20)
+    )
+
+
+# ------------------------- queries -------------------------
+
+
+def _q_outdegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, verts = _graph(spark, sf_dir)
+    return outdegrees(edges, verts)
+
+
+def _q_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, verts = _graph(spark, sf_dir)
+    return indegrees(edges, verts)
+
+
+def _q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, verts = _graph(spark, sf_dir)
+    return degree_distribution(edges, verts)
+
+
+def _q_successors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSR adjacency rendered as a canonical comma-joined sorted string so
+    the value-hash is representation-independent across engines."""
+    edges, _ = _graph(spark, sf_dir)
+    adj = build_csr_adjacency(edges)
+    return adj.select(
+        F.col("src").alias("vertex"),
+        F.array_join(F.transform("dsts", lambda x: x.cast("string")), ",").alias("succs"),
+    )
+
+
+def _q_num_nodes_arcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, verts = _graph(spark, sf_dir)
+    return verts.agg(F.count("*").alias("num_nodes")).crossJoin(
+        edges.agg(F.count("*").alias("num_arcs"))
+    )
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, verts = _graph(spark, sf_dir)
+    result = pagerank(edges, verts, max_iter=PAGERANK_ITERS, tol=None)
+    return result.ranks.select("vertex", F.round("pr", 8).alias("pr"))
+
+
+def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, verts = _clustered(spark, sf_dir)
+    return connected_components(edges, verts)
+
+
+def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, verts = _clustered(spark, sf_dir)
+    return label_propagation(edges, verts, num_iter=LP_ITERS)
+
+
+def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, _ = _graph(spark, sf_dir)
+    return triangle_count(edges)
+
+
+def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, verts = _graph(spark, sf_dir)
+    return triangles_per_vertex(edges, verts)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "outdegree": _q_outdegree,
+        "indegree": _q_indegree,
+        "degree_distribution": _q_degree_distribution,
+        "successors": _q_successors,
+        "num_nodes_arcs": _q_num_nodes_arcs,
+        "pagerank_5iter": _q_pagerank,
+        "connected_components": _q_connected_components,
+        "label_propagation_2iter": _q_label_propagation,
+        "triangle_count": _q_triangle_count,
+        "triangles_per_vertex": _q_triangles_per_vertex,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "outdegree": oracles.outdegree_sql(),
+        "indegree": oracles.indegree_sql(),
+        "degree_distribution": oracles.degree_distribution_sql(),
+        "successors": oracles.successors_sql(),
+        "num_nodes_arcs": oracles.num_nodes_arcs_sql(),
+        "pagerank_5iter": oracles.pagerank_sql(PAGERANK_ITERS),
+        "connected_components": oracles.connected_components_sql(),
+        "label_propagation_2iter": oracles.label_propagation_sql(LP_ITERS),
+        "triangle_count": oracles.triangle_count_sql(),
+        "triangles_per_vertex": oracles.triangles_per_vertex_sql(),
+    }

@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tests.conftest import seeded_random_graph
+from webgraph_ans_rs_spark.operators.pagerank import pagerank
+
+
+def numpy_pagerank(es, n, damping=0.85, iters=100, tol=None):
+    """Independent dense power-iteration oracle with uniform dangling
+    redistribution (FIXTURES.md §4)."""
+    out = np.zeros(n)
+    for a, _ in es:
+        out[a] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for a, b in es:
+            contrib[b] += r[a] / out[a]
+        dangling = r[out == 0].sum()
+        rn = (1 - damping) / n + damping * (contrib + dangling / n)
+        delta = np.abs(rn - r).sum()
+        r = rn
+        if tol is not None and delta <= tol:
+            break
+    return r
+
+
+def test_pagerank_matches_numpy_fixed_iters(spark):
+    edges, verts, es, n = seeded_random_graph(spark)
+    res = pagerank(edges, verts, max_iter=5, tol=None)
+    got = {r.vertex: r.pr for r in res.ranks.collect()}
+    want = numpy_pagerank(es, n, iters=5)
+    assert res.iterations == 5
+    for v in range(n):
+        assert abs(got[v] - want[v]) < 1e-12
+
+
+def test_pagerank_converged_allclose_1e6(spark):
+    edges, verts, es, n = seeded_random_graph(spark)
+    res = pagerank(edges, verts, max_iter=100, tol=1e-6)
+    got = np.array([r.pr for r in res.ranks.orderBy("vertex").collect()])
+    want = numpy_pagerank(es, n, iters=res.iterations)
+    assert np.allclose(got, want, atol=1e-6)
+    assert res.l1_delta <= 1e-6
+
+
+def test_pagerank_mass_conserved(spark):
+    edges, verts, es, n = seeded_random_graph(spark)
+    res = pagerank(edges, verts, max_iter=3, tol=None)
+    total = res.ranks.agg(F.sum("pr")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_tiny(tiny_graph):
+    """Tiny graph has 3 dangling vertices — exercises the dangling path."""
+    edges, verts = tiny_graph
+    res = pagerank(edges, verts, max_iter=10, tol=None)
+    es = [(4, 0), (0, 2), (0, 3), (1, 5)]
+    want = numpy_pagerank(es, 6, iters=10)
+    got = {r.vertex: r.pr for r in res.ranks.collect()}
+    for v in range(6):
+        assert abs(got[v] - want[v]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_pagerank_history_metrics(spark):
+    edges, verts, es, n = seeded_random_graph(spark)
+    res = pagerank(edges, verts, max_iter=3, tol=None)
+    assert len(res.history) == 3
+    assert all(h["wall_ms"] >= 0 and h["l1_delta"] >= 0 for h in res.history)

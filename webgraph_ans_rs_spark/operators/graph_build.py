@@ -1,0 +1,91 @@
+"""Edge-table and CSR-adjacency construction — the engine's "write path".
+
+Reference analogue: ``ANSBvGraph::store`` runs a stats pass, then a layout
+pass, then serializes pointers for random access
+(/root/reference/src/bvgraph/random_access.rs:91-222). Here:
+
+* stats pass  = degree histogram (one aggregation) used to size buckets;
+* layout pass = repartition by ``src`` + sort within partitions, then
+  ``groupBy(src).agg(sort_array(collect_list(dst)))`` — per-node sorted
+  successor lists, the DataFrame CSR (sorted lists are a format invariant
+  in the reference: tests/test_bvgraph.rs:88-91);
+* serialize   = parquet written bucketed-by-src so a point lookup
+  (``successors(u)``) prunes to one bucket — the stand-in for the
+  Elias-Fano pointer index (random_access.rs:225-236).
+
+At 100 TB the layout pass is one shuffle keyed by src; bucket count comes
+from the stats pass so each bucket is ~128-256 MB on disk.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def choose_bucket_count(num_edges: int, target_edges_per_bucket: int = 4_000_000) -> int:
+    """Driver-side layout parameter choice from the stats pass — the engine's
+    analogue of the reference's (fidelity, radix, frame-size) search
+    (model4encoder_builder.rs:80-271), collapsed to one knob."""
+    return max(1, 2 ** math.ceil(math.log2(max(1, num_edges / target_edges_per_bucket))))
+
+
+def build_csr_adjacency(edges: DataFrame, num_buckets: int | None = None) -> DataFrame:
+    """(src, dsts array<long> sorted ascending, outdeg int).
+
+    ``sort_array`` enforces the BvGraph sorted-successor invariant at the
+    Spark layer rather than relying on shuffle ordering.
+    """
+    if num_buckets is not None:
+        edges = edges.repartition(num_buckets, "src")
+    return edges.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("dsts"),
+        F.count("*").cast("int").alias("outdeg"),
+    )
+
+
+def write_adjacency_table(
+    spark: SparkSession,
+    edges: DataFrame,
+    path: str,
+    num_buckets: int | None = None,
+    table_name: str = "adj",
+) -> None:
+    """Persist the CSR as a bucketed, sorted parquet table.
+
+    ``bucketBy(src)`` + ``sortBy(src)`` gives bucket-pruned point lookups:
+    the successors(u) path touches one bucket file, the analogue of the
+    reference's O(1) EF-select jump (bvgraph_decoder_factory.rs:46-58).
+    Falls back to plain partitioned parquet when no catalog (saveAsTable
+    needs a warehouse dir, available in the sandbox's derby metastore).
+    """
+    if num_buckets is None:
+        num_buckets = choose_bucket_count(edges.count())
+    adj = build_csr_adjacency(edges, num_buckets)
+    try:
+        (
+            adj.write.mode("overwrite")
+            .bucketBy(num_buckets, "src")
+            .sortBy("src")
+            .option("path", path)
+            .saveAsTable(table_name)
+        )
+    except Exception:
+        adj.repartition(num_buckets, "src").sortWithinPartitions("src").write.mode(
+            "overwrite"
+        ).parquet(path)
+
+
+def successors(adj: DataFrame, u: int) -> DataFrame:
+    """Random-access successor lookup — filter pushes down to the bucketed
+    scan (SURVEY.md §3.2)."""
+    return adj.where(F.col("src") == F.lit(u)).select("src", "dsts")
+
+
+def successors_batch(adj: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Batch random access: broadcast semi-join of a (small) node list
+    against the adjacency table — the 10M-random-nodes benchmark shape
+    (/root/reference/examples/bench_random_access.rs:28-41)."""
+    return adj.join(F.broadcast(nodes), adj["src"] == nodes["vertex"], "left_semi")

@@ -1,0 +1,190 @@
+"""DuckDB oracle SQL builders for every oracle-comparable engine query.
+
+These strings are the independent ground truth the driver runs side-by-side
+with the Spark queries (order-insensitive value-hash). Iterative algorithms
+are expressed as *unrolled* fixed-iteration CTE chains (PageRank, LP) or a
+recursive reachability CTE (connected components — exact min-label
+semantics). Float constants are embedded via ``repr`` of the exact Python
+double the engine uses, and every float expression mirrors the engine's
+association order, so Spark and DuckDB execute the same IEEE-754 ops.
+"""
+
+from __future__ import annotations
+
+from .derived_graph import clustered_edges_sql, hash_edges_sql, vertices_sql
+
+_D = 0.85  # damping, must match engine default
+
+
+def _graph_ctes() -> str:
+    return (
+        f"edges AS ({hash_edges_sql()}),\n"
+        f"verts AS ({vertices_sql()}),\n"
+        f"und AS (SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges))"
+    )
+
+
+def _clustered_ctes() -> str:
+    return (
+        f"cedges AS ({clustered_edges_sql()}),\n"
+        f"verts AS ({vertices_sql()}),\n"
+        f"cund AS (SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM cedges UNION ALL SELECT dst AS src, src AS dst FROM cedges))"
+    )
+
+
+def outdegree_sql() -> str:
+    return (
+        f"WITH {_graph_ctes()}\n"
+        f"SELECT v.vertex, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS outdeg\n"
+        f"FROM verts v LEFT JOIN (SELECT src AS vertex, COUNT(*) AS cnt FROM edges GROUP BY 1) c"
+        f" USING (vertex)"
+    )
+
+
+def indegree_sql() -> str:
+    return (
+        f"WITH {_graph_ctes()}\n"
+        f"SELECT v.vertex, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS indeg\n"
+        f"FROM verts v LEFT JOIN (SELECT dst AS vertex, COUNT(*) AS cnt FROM edges GROUP BY 1) c"
+        f" USING (vertex)"
+    )
+
+
+def degree_distribution_sql() -> str:
+    return (
+        f"WITH {_graph_ctes()},\n"
+        f"od AS (SELECT v.vertex, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS outdeg"
+        f" FROM verts v LEFT JOIN (SELECT src AS vertex, COUNT(*) AS cnt FROM edges GROUP BY 1) c"
+        f" USING (vertex))\n"
+        f"SELECT outdeg, COUNT(*) AS n_vertices FROM od GROUP BY outdeg"
+    )
+
+
+def successors_sql() -> str:
+    return (
+        f"WITH {_graph_ctes()}\n"
+        f"SELECT src AS vertex,"
+        f" string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS succs\n"
+        f"FROM edges GROUP BY src"
+    )
+
+
+def successors_of_sql(u: int) -> str:
+    return (
+        f"WITH {_graph_ctes()}\n"
+        f"SELECT src AS vertex,"
+        f" string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS succs\n"
+        f"FROM edges WHERE src = {u} GROUP BY src"
+    )
+
+
+def num_nodes_arcs_sql() -> str:
+    return (
+        f"WITH {_graph_ctes()}\n"
+        f"SELECT (SELECT COUNT(*) FROM verts) AS num_nodes,"
+        f" (SELECT COUNT(*) FROM edges) AS num_arcs"
+    )
+
+
+def pagerank_sql(num_iter: int = 5, damping: float = _D) -> str:
+    """Unrolled power iteration mirroring operators/pagerank.py float-op
+    order: base = (1-d)/n + d*dm/n (driver-side scalar), pr = base + d*g."""
+    one_minus_d = repr(1.0 - damping)  # exact python double, e.g. 0.15000000000000002
+    d = repr(damping)
+    n = "(SELECT CAST(COUNT(*) AS DOUBLE) FROM verts)"
+    ctes = [
+        _graph_ctes(),
+        (
+            "od AS (SELECT v.vertex, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS outdeg"
+            " FROM verts v LEFT JOIN (SELECT src AS vertex, COUNT(*) AS cnt"
+            " FROM edges GROUP BY 1) c USING (vertex))"
+        ),
+        f"r0 AS (SELECT vertex, CAST(1.0 AS DOUBLE) / {n} AS pr FROM verts)",
+    ]
+    for i in range(1, num_iter + 1):
+        p = i - 1
+        ctes.append(
+            f"dm{i} AS (SELECT COALESCE(SUM(r.pr), CAST(0.0 AS DOUBLE)) AS m"
+            f" FROM r{p} r JOIN od USING (vertex) WHERE od.outdeg = 0)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT e.dst AS vertex, SUM(r.pr / od.outdeg) AS g"
+            f" FROM edges e JOIN r{p} r ON r.vertex = e.src"
+            f" JOIN od ON od.vertex = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT v.vertex,"
+            f" (CAST({one_minus_d} AS DOUBLE) / {n}"
+            f" + CAST({d} AS DOUBLE) * (SELECT m FROM dm{i}) / {n})"
+            f" + CAST({d} AS DOUBLE) * COALESCE(s.g, CAST(0.0 AS DOUBLE)) AS pr"
+            f" FROM verts v LEFT JOIN s{i} s USING (vertex))"
+        )
+    body = ",\n".join(ctes)
+    return f"WITH {body}\nSELECT vertex, ROUND(pr, 8) AS pr FROM r{num_iter}"
+
+
+def connected_components_sql() -> str:
+    """Exact reachability-based min label on the clustered graph (components
+    are <= CLUSTER_GROUP nodes, so the closure is tiny)."""
+    return (
+        f"WITH RECURSIVE {_clustered_ctes()},\n"
+        f"r(v, l) AS (\n"
+        f"  SELECT vertex, vertex FROM verts\n"
+        f"  UNION\n"
+        f"  SELECT u.dst, r.l FROM r JOIN cund u ON u.src = r.v\n"
+        f")\n"
+        f"SELECT v AS vertex, MIN(l) AS component FROM r GROUP BY v"
+    )
+
+
+def label_propagation_sql(num_iter: int = 2) -> str:
+    """Unrolled synchronous LP on the clustered graph; argmax neighbor label,
+    ties -> smallest label; no-neighbor vertices keep their label."""
+    ctes = [
+        _clustered_ctes(),
+        "l0 AS (SELECT vertex, vertex AS label FROM verts)",
+    ]
+    for i in range(1, num_iter + 1):
+        p = i - 1
+        ctes.append(
+            f"h{i} AS (SELECT u.src AS vertex, l.label AS nbr_label, COUNT(*) AS cnt"
+            f" FROM cund u JOIN l{p} l ON l.vertex = u.dst GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{i} AS (SELECT vertex, nbr_label FROM ("
+            f"SELECT vertex, nbr_label,"
+            f" ROW_NUMBER() OVER (PARTITION BY vertex ORDER BY cnt DESC, nbr_label ASC) AS rn"
+            f" FROM h{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT v.vertex, COALESCE(b.nbr_label, l.label) AS label"
+            f" FROM verts v JOIN l{p} l USING (vertex) LEFT JOIN b{i} b USING (vertex))"
+        )
+    body = ",\n".join(ctes)
+    return f"WITH {body}\nSELECT vertex, label FROM l{num_iter}"
+
+
+def triangle_count_sql() -> str:
+    return (
+        f"WITH {_graph_ctes()},\n"
+        f"o AS (SELECT src AS a, dst AS b FROM und WHERE src < dst)\n"
+        f"SELECT COUNT(*) AS n_triangles FROM o e1"
+        f" JOIN o e2 ON e2.a = e1.b"
+        f" JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+
+
+def triangles_per_vertex_sql() -> str:
+    return (
+        f"WITH {_graph_ctes()},\n"
+        f"o AS (SELECT src AS a, dst AS b FROM und WHERE src < dst),\n"
+        f"tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c FROM o e1"
+        f" JOIN o e2 ON e2.a = e1.b"
+        f" JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),\n"
+        f"parts AS (SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri"
+        f" UNION ALL SELECT c FROM tri)\n"
+        f"SELECT v.vertex, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_tri FROM verts v"
+        f" LEFT JOIN (SELECT vertex, COUNT(*) AS n FROM parts GROUP BY 1) p USING (vertex)"
+    )
