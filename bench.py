@@ -1,0 +1,115 @@
+"""Bench harness — prints ONE JSON line with per-query seconds.
+
+Driver contract: runs headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; output:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Beyond the sf-dir oracle queries, two scale benches run on deterministic
+synthetic inputs (pure functions of seed, identical at any parallelism):
+
+* pagerank_supersteps — 5 PageRank supersteps on a ~1.4M-edge synthetic web
+  graph; reported both as seconds and as edges_per_sec (the BASELINE.json
+  headline metric).
+* pipeline_extract — HTML parse → edge build on synthetic pages (the
+  vectorized-UDF path).
+
+Scaling-efficiency protocol (local[8] vs local[32]) lives in
+tools/bench_scaling.py, which shells out to this file per parallelism level.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from webgraph_ans_rs_spark.datagen import synthetic_pages  # noqa: E402
+from webgraph_ans_rs_spark.operators.extract import extract_text_and_links  # noqa: E402
+from webgraph_ans_rs_spark.operators.graph_build import edges_from_pages  # noqa: E402
+from webgraph_ans_rs_spark.operators.pagerank import pagerank  # noqa: E402
+from webgraph_ans_rs_spark.plans.bench_graph import synthetic_edges  # noqa: E402
+from webgraph_ans_rs_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "outdegree",
+    "successors",
+    "pagerank_5iter",
+    "connected_components",
+    "label_propagation_2iter",
+    "triangle_count",
+]
+
+BENCH_VERTICES = int(os.environ.get("SPARK_GRAFT_BENCH_VERTICES", "2000000"))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+PR_SUPERSTEPS = 5
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    qs = entry_mod.queries()
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.count()
+        queries[name] = round(time.time() - t0, 3)
+
+    # pipeline: pages → extract (Arrow UDF) → edges; generation is
+    # materialized to parquet first so the timing isolates parse+build.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pages_path = os.path.join(tmp, "pages.parquet")
+        synthetic_pages(spark, BENCH_PAGES).write.mode("overwrite").parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
+        t0 = time.time()
+        n_pipeline_edges = edges_from_pages(extract_text_and_links(pages)).count()
+        queries["pipeline_extract"] = round(time.time() - t0, 3)
+
+    # pagerank throughput on the big synthetic graph
+    edges = synthetic_edges(spark, BENCH_VERTICES).persist()
+    n_edges = edges.count()
+    verts = (
+        spark.range(0, BENCH_VERTICES)
+        .select(F.col("id").alias("vertex"))
+    )
+    t0 = time.time()
+    res = pagerank(edges, verts, max_iter=PR_SUPERSTEPS, tol=None)
+    res.ranks.count()
+    pr_sec = time.time() - t0
+    queries["pagerank_supersteps"] = round(pr_sec, 3)
+    edges_per_sec = PR_SUPERSTEPS * n_edges / pr_sec
+    edges.unpersist()
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": os.path.basename(sf_dir.rstrip("/")).replace("sf", ""),
+                "cpus": int(cpus),
+                "pagerank_edges": n_edges,
+                "pagerank_supersteps": PR_SUPERSTEPS,
+                "pagerank_edges_per_sec": round(edges_per_sec),
+                "pipeline_pages": BENCH_PAGES,
+                "pipeline_edges": n_pipeline_edges,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def hash_vertices(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, vertex) — int64 id = xxhash64(url) (input_hint). Deterministic,
+    collision probability ~n²/2⁶⁵ (≈1e-6 even at 1e9 urls per shard);
+    dense 0..N-1 ids are available via zipWithIndex-style ranking when a
+    downstream consumer needs them, but hashing avoids a global sort."""
+    return df.select(url_col).distinct().select(
+        F.col(url_col).alias("url"), F.xxhash64(url_col).alias("vertex")
+    )
+
+
+def edges_from_pages(extracted: DataFrame) -> DataFrame:
+    """(src long, dst long) distinct, self-loops dropped, from the
+    extraction output (url, outlinks array<string>).
+
+    Plan: explode (narrow) → two hash joins against the vertex map is
+    avoided entirely — both endpoints are hashed directly with xxhash64,
+    so the only shuffle is the final dedup aggregation keyed (src, dst).
+    Dangling urls (linked-to but never crawled) still get stable ids.
+    """
+    return (
+        extracted.select(
+            F.xxhash64("url").alias("src"),
+            F.explode("outlinks").alias("dst_url"),
+        )
+        .select("src", F.xxhash64("dst_url").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
 def choose_bucket_count(num_edges: int, target_edges_per_bucket: int = 4_000_000) -> int:
     """Driver-side layout parameter choice from the stats pass — the engine's
     analogue of the reference's (fidelity, radix, frame-size) search

@@ -2,28 +2,32 @@
 
 Per superstep (all DataFrame ops, JVM-side):
 
-  scatter:  ranks ⋈ edges on src  →  contribution rank/outdeg per edge
-  gather:   groupBy(dst).sum — Catalyst plans a partial (map-side) sum
+  scatter:  ranks ⋈ weighted_edges on src → contribution pr·w per edge,
+            where w = 1/outdeg is precomputed ONCE outside the loop
+  gather:   groupBy(dst).sum — Catalyst plans a map-side partial sum
             before the shuffle, so hub vertices receive pre-combined
-            partial sums from each upstream partition: this IS two-stage
-            salted aggregation, done by the engine. For pathological hubs
-            AQE skew-join splitting (enabled in session.py) re-splits
-            oversized shuffle partitions at runtime.
-  apply:    rank' = (1-d)/n + d * (gathered + dangling_mass/n)
+            partials from each upstream partition (two-stage "salted"
+            aggregation done by the engine); AQE skew handling re-splits
+            pathological shuffle partitions at runtime
+  apply:    rank' = (1-d)/n + d·(gathered + dangling_mass/n)
 
-Dangling vertices (outdeg 0) redistribute their mass uniformly — standard
-PageRank semantics, keeps sum(rank) == 1 every iteration.
+Loop-invariant state (weighted edges, dangling vertex set) is computed and
+cached once; supersteps with ``tol=None`` and no dangling vertices run
+exactly one Spark job each (the gather), which is what the superstep
+throughput bench measures.
 
-Lineage is truncated each superstep with localCheckpoint (or a parquet
-checkpoint via CheckpointManager for resumable runs) — the analogue of the
+Dangling vertices redistribute their mass uniformly; sum(rank) == 1 holds
+every iteration.
+
+Lineage is truncated each superstep with localCheckpoint (or parquet
+commits via CheckpointManager for resumable runs) — the analogue of the
 reference's per-node ANSCompressorPhase resume points
 (/root/reference/src/ans/mod.rs:62-68, bvgraph_encoder.rs:167-171).
 
-Scale notes (100 TB / 1e12 docs): the loop's only shuffles are the join on
-src (co-partitioned if `edges` is bucketed by src and ranks are repartitioned
-once by vertex=src) and the gather on dst. Ranks are O(V) = two longs+double
-per vertex; edges never change, so caching/bucketing them once amortizes
-across supersteps.
+Scale notes (100 TB / 1e12 docs): shuffles per superstep are the join on
+src (co-partitioned: weighted edges are hash-partitioned by src once, ranks
+by vertex every apply) and the gather on dst. Rank state is O(V); edges are
+loop-invariant and bucketed/cached once, amortized across supersteps.
 """
 
 from __future__ import annotations
@@ -56,15 +60,24 @@ def pagerank(
 ) -> PageRankResult:
     """Exact power iteration. ``tol`` is the L1-delta convergence threshold;
     pass ``tol=None`` to run exactly ``max_iter`` supersteps (the
-    oracle-comparable fixed-iteration mode)."""
-    spark = edges.sparkSession
+    oracle-comparable fixed-iteration mode, skipping delta computation)."""
     n = verts.count()
-    deg = outdegrees(edges, verts)  # (vertex, outdeg) incl. 0
+    deg = outdegrees(edges, verts)
 
-    # Co-partition the loop-invariant sides once; cache them.
-    edges = edges.repartition("src").persist()
-    deg = deg.persist()
-    edges.count()
+    # Loop-invariant: edges weighted by 1/outdeg, partitioned by src.
+    w_edges = (
+        edges.join(
+            deg.select(F.col("vertex").alias("src"), (F.lit(1.0) / F.col("outdeg")).alias("w")),
+            "src",
+        )
+        .select("src", "dst", "w")
+        .repartition("src")
+        .persist()
+    )
+    w_edges.count()
+    # Loop-invariant: dangling vertex set (often empty for web graphs).
+    dangling_verts = deg.where(F.col("outdeg") == 0).select("vertex").persist()
+    has_dangling = dangling_verts.count() > 0
 
     start_iter = 0
     ranks = verts.select("vertex", F.lit(1.0 / n).alias("pr"))
@@ -72,24 +85,23 @@ def pagerank(
         resumed = checkpoint_manager.latest_snapshot(job_id)
         if resumed is not None:
             start_iter, ranks = resumed
-    ranks = ranks.repartition("vertex").persist()
-    ranks.count()
+    ranks = ranks.repartition("vertex").localCheckpoint(eager=True)
 
     history: list[dict] = []
     l1 = float("inf")
     it = start_iter
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.time()
-        # ranks with outdeg attached; dangling mass from outdeg==0 rows.
-        rd = ranks.join(deg, "vertex")
-        dangling = rd.where(F.col("outdeg") == 0).agg(
-            F.coalesce(F.sum("pr"), F.lit(0.0))
-        ).first()[0]
-        e = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+        dangling = (
+            ranks.join(dangling_verts, "vertex", "left_semi")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+            .first()[0]
+            if has_dangling
+            else 0.0
+        )
         contribs = (
-            rd.where(F.col("outdeg") > 0)
-            .join(e, rd["vertex"] == F.col("e_src"))
-            .select(F.col("e_dst").alias("vertex"), (F.col("pr") / F.col("outdeg")).alias("c"))
+            ranks.join(w_edges, ranks["vertex"] == w_edges["src"])
+            .select(F.col("dst").alias("vertex"), (F.col("pr") * F.col("w")).alias("c"))
             .groupBy("vertex")
             .agg(F.sum("c").alias("gathered"))
         )
@@ -101,14 +113,14 @@ def pagerank(
                 (F.lit(base) + F.lit(damping) * F.coalesce("gathered", F.lit(0.0))).alias("pr"),
             )
             .repartition("vertex")
+            .localCheckpoint(eager=True)
         )
-        new_ranks = new_ranks.localCheckpoint(eager=True)
-        l1 = (
-            new_ranks.join(ranks.withColumnRenamed("pr", "pr_old"), "vertex")
-            .agg(F.sum(F.abs(F.col("pr") - F.col("pr_old"))))
-            .first()[0]
-        )
-        ranks.unpersist()
+        if tol is not None:
+            l1 = (
+                new_ranks.join(ranks.withColumnRenamed("pr", "pr_old"), "vertex")
+                .agg(F.sum(F.abs(F.col("pr") - F.col("pr_old"))))
+                .first()[0]
+            )
         ranks = new_ranks
         wall_ms = int((time.time() - t0) * 1000)
         history.append({"iteration": it, "l1_delta": l1, "wall_ms": wall_ms})
@@ -116,6 +128,6 @@ def pagerank(
             checkpoint_manager.commit(job_id, it, ranks, {"l1_delta": l1, "wall_ms": wall_ms})
         if tol is not None and l1 <= tol:
             break
-    edges.unpersist()
-    deg.unpersist()
+    w_edges.unpersist()
+    dangling_verts.unpersist()
     return PageRankResult(ranks=ranks, iterations=it, l1_delta=l1, history=history)

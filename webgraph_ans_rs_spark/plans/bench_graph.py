@@ -1,0 +1,53 @@
+"""Deterministic large synthetic edge table for benchmarking — pure JVM plan.
+
+Built entirely from ``spark.range`` + built-in functions (xxhash64, sequence,
+explode): no Python touches the hot path, so generation throughput scales
+with cores and the generated set is identical at any parallelism.
+
+Shape mirrors a web graph: Zipf-ish outdegree (inverse-CDF on a per-vertex
+uniform hash, exponent ~1.2 — cf. the reference's Zipf(1.2) test streams,
+/root/reference/tests/utils/mod.rs:17-26) plus a hub link per vertex
+(64 hot destinations) to exercise skewed-aggregation handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BENCH_SEED = 42
+MAX_DEG = 48
+ZIPF_EXP = 1.2
+N_HUBS = 64
+
+
+def synthetic_edges(
+    spark: SparkSession,
+    n_vertices: int,
+    num_partitions: int | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """(src long, dst long); ~3.5 edges/vertex plus hub links."""
+    if num_partitions is None:
+        num_partitions = max(2, spark.sparkContext.defaultParallelism)
+    v = spark.range(0, n_vertices, 1, num_partitions).withColumnRenamed("id", "src")
+    u = (F.pmod(F.xxhash64("src", F.lit(BENCH_SEED)), F.lit(1000003)) + 1) / F.lit(
+        1000004.0
+    )
+    deg = F.least(
+        F.lit(MAX_DEG), F.greatest(F.lit(1), F.pow(u, F.lit(-1.0 / ZIPF_EXP)).cast("int"))
+    )
+    e = (
+        v.withColumn("j", F.explode(F.sequence(F.lit(0), deg - 1)))
+        .select(
+            "src",
+            F.pmod(F.xxhash64("src", "j", F.lit(BENCH_SEED)), F.lit(n_vertices)).alias("dst"),
+        )
+    )
+    hubs = v.select(
+        "src", F.pmod(F.xxhash64("src", F.lit(BENCH_SEED + 1)), F.lit(N_HUBS)).alias("dst")
+    )
+    edges = e.unionAll(hubs).where(F.col("src") != F.col("dst"))
+    if dedup:
+        edges = edges.dropDuplicates(["src", "dst"])
+    return edges

@@ -90,14 +90,16 @@ def num_nodes_arcs_sql() -> str:
 
 def pagerank_sql(num_iter: int = 5, damping: float = _D) -> str:
     """Unrolled power iteration mirroring operators/pagerank.py float-op
-    order: base = (1-d)/n + d*dm/n (driver-side scalar), pr = base + d*g."""
+    order: w = 1.0/outdeg precomputed, contribution = pr*w,
+    base = (1-d)/n + d*dm/n (driver-side scalar), pr = base + d*g."""
     one_minus_d = repr(1.0 - damping)  # exact python double, e.g. 0.15000000000000002
     d = repr(damping)
     n = "(SELECT CAST(COUNT(*) AS DOUBLE) FROM verts)"
     ctes = [
         _graph_ctes(),
         (
-            "od AS (SELECT v.vertex, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS outdeg"
+            "od AS (SELECT v.vertex, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS outdeg,"
+            " CAST(1.0 AS DOUBLE) / COALESCE(c.cnt, 1) AS w"
             " FROM verts v LEFT JOIN (SELECT src AS vertex, COUNT(*) AS cnt"
             " FROM edges GROUP BY 1) c USING (vertex))"
         ),
@@ -110,7 +112,7 @@ def pagerank_sql(num_iter: int = 5, damping: float = _D) -> str:
             f" FROM r{p} r JOIN od USING (vertex) WHERE od.outdeg = 0)"
         )
         ctes.append(
-            f"s{i} AS (SELECT e.dst AS vertex, SUM(r.pr / od.outdeg) AS g"
+            f"s{i} AS (SELECT e.dst AS vertex, SUM(r.pr * od.w) AS g"
             f" FROM edges e JOIN r{p} r ON r.vertex = e.src"
             f" JOIN od ON od.vertex = e.src GROUP BY e.dst)"
         )
