@@ -30,8 +30,12 @@ from webgraph_ans_rs_spark.operators.triangles import (
     triangle_count,
     triangles_per_vertex,
 )
+from webgraph_ans_rs_spark.operators import dedup as dd
+from webgraph_ans_rs_spark.operators import similarity as sim
+from webgraph_ans_rs_spark.operators import textstats as ts
 from webgraph_ans_rs_spark.plans import derived_graph as dg
 from webgraph_ans_rs_spark.plans import oracles
+from webgraph_ans_rs_spark.plans import oracles_pipeline as op
 from webgraph_ans_rs_spark.sources.tables import load_table
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -130,8 +134,63 @@ def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles_per_vertex(edges, verts)
 
 
+SIM_QUERY_IDS = list(range(10))
+
+
+def _q_token_count(spark, sf_dir):
+    return ts.token_count(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return ts.lang_id(_docs(spark, sf_dir))
+
+
+def _q_quality_score(spark, sf_dir):
+    return ts.quality_score(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return ts.fingerprint(_docs(spark, sf_dir))
+
+
+def _q_exact_dedup(spark, sf_dir):
+    return dd.exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def _q_simhash(spark, sf_dir):
+    return dd.simhash(_docs(spark, sf_dir))
+
+
+def _q_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, SIM_QUERY_IDS)
+
+
+def _q_cosine_neardup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_neardup_pairs(emb, threshold=0.3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "token_count": _q_token_count,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "fingerprint": _q_fingerprint,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "cosine_topk": _q_cosine_topk,
+        "cosine_neardup": _q_cosine_neardup,
         "outdegree": _q_outdegree,
         "indegree": _q_indegree,
         "degree_distribution": _q_degree_distribution,
@@ -147,6 +206,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "token_count": op.token_count_sql(),
+        "lang_id": op.lang_id_sql(),
+        "quality_score": op.quality_score_sql(),
+        "fingerprint": op.fingerprint_sql(),
+        "exact_dedup": op.exact_dedup_sql(),
+        "ngram_jaccard": op.ngram_jaccard_sql(),
+        "minhash_lsh": op.minhash_lsh_sql(),
+        "simhash": op.simhash_sql(),
+        "cosine_topk": op.cosine_topk_sql(SIM_QUERY_IDS),
+        "cosine_neardup": op.cosine_neardup_sql(0.3),
         "outdegree": oracles.outdegree_sql(),
         "indegree": oracles.indegree_sql(),
         "degree_distribution": oracles.degree_distribution_sql(),

@@ -1,0 +1,129 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from webgraph_ans_rs_spark.operators import dedup as dd
+from webgraph_ans_rs_spark.operators import similarity as sim
+from webgraph_ans_rs_spark.operators import textstats as ts
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a sleepy dog"),  # near dup of 0
+        (3, "der hund ist nicht da und die katze auch nicht"),
+        (4, "le chat est sur la table et il dort pas mal"),
+        (5, "completely different words about spark shuffle partitions"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.999, 0.02, 0.0]),  # near dup of 2
+        (4, [0.5, 0.5, 0.5, 0.5]),
+        (5, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_exact_dedup(docs):
+    out = dd.exact_dedup(docs).collect()
+    groups = {r.keep_id: r.n_copies for r in out}
+    assert groups[0] == 2  # docs 0 and 1 identical
+    assert sum(groups.values()) == 7
+    assert len(out) == 6  # 6 distinct texts
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.a, r.b): r.jaccard for r in dd.ngram_jaccard_pairs(docs, threshold=0.05).collect()}
+    assert pairs[(0, 1)] == 1.0  # identical
+    assert (0, 2) in pairs and 0.3 < pairs[(0, 2)] < 1.0
+    assert (0, 5) not in pairs
+
+
+def test_minhash_lsh_candidates(docs):
+    got = {(r.a, r.b) for r in dd.minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in got  # identical docs always collide
+    assert (3, 4) not in got  # unrelated docs shouldn't band-collide (w.h.p.)
+
+
+def test_simhash_identical_docs_equal(docs):
+    sigs = {r.doc_id: r.simhash for r in dd.simhash(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert 0 <= sigs[0] < 2**16
+    # hamming distance of near-dup is small, far doc is larger
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(sigs[0], sigs[2]) <= ham(sigs[0], sigs[5])
+
+
+def test_cosine_topk_exact(vecs):
+    out = sim.cosine_topk(vecs, [0], k=3).collect()
+    order = [r.vb for r in sorted(out, key=lambda r: r.rn)]
+    assert order[0] == 1  # nearest neighbor of 0 is 1
+    assert order[-1] != 5 or len(order) == 5  # opposite vector ranks last
+    top = {r.vb: r.cos for r in out}
+    assert abs(top[1] - (0.999 / math.sqrt(0.999**2 + 0.01**2))) < 1e-5
+
+
+def test_cosine_neardup_pairs(vecs):
+    got = {(r.a, r.b) for r in sim.cosine_neardup_pairs(vecs, threshold=0.95).collect()}
+    assert got == {(0, 1), (2, 3)}
+
+
+def test_lsh_topk_recall(spark):
+    """LSH top-1 must recover the brute-force nearest neighbor for most
+    queries (same-bucket near-dups)."""
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(40)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, [x + rng.gauss(0, 0.01) for x in v]))  # twin
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = [0, 2, 4, 6, 8, 10]
+    exact = {r.qa: r.vb for r in sim.cosine_topk(emb, queries, k=1).collect()}
+    approx = {r.qa: r.vb for r in sim.lsh_topk(emb, queries, k=1, dim=16).collect()}
+    hits = sum(1 for q in queries if approx.get(q) == exact[q])
+    assert hits >= len(queries) - 1  # near-identical twins share buckets w.h.p.
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (0, "the cat and the dog is not here"),
+        (1, "der hund und die katze ist nicht hier"),
+        (2, "le chat et la table est pas ici"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in ts.lang_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr"}
+
+
+def test_quality_score_ranges(docs):
+    out = ts.quality_score(docs.where(F.col("text") != "")).collect()
+    for r in out:
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert r.n_chars > 0
+
+
+def test_fingerprint_normalization(spark):
+    rows = [(0, "a  b   c"), (1, "a b c"), (2, "A B C ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.fp, r.fp_norm) for r in ts.fingerprint(df).collect()}
+    assert out[0][0] != out[1][0]  # raw differs
+    assert out[0][1] == out[1][1] == out[2][1]  # normalized collapses

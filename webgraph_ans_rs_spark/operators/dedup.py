@@ -1,0 +1,178 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families, all shuffle-bounded DataFrame plans (no Python in the
+hot path except where noted):
+
+* exact          — hash-groupBy on md5(text); one aggregation.
+* ngram Jaccard  — word n-gram shingles → shared-shingle candidate pairs →
+                   |∩|/|∪|. The self-join is bounded by dropping shingles
+                   with document frequency > MAX_SHINGLE_DF (stop-shingles
+                   explode candidate pairs quadratically at web scale —
+                   same hub problem as PageRank's high-indegree vertices).
+* MinHash + LSH  — k md5-based minhash signatures (lexicographic min over
+                   hex digests — a total order both Spark and DuckDB agree
+                   on), banded into b keys; candidates = pairs sharing a
+                   band bucket. Scale path: cost is O(docs·k) + bucket join,
+                   never all-pairs.
+* SimHash        — 16-bit signature from per-token md5 nibbles (bit b set
+                   iff sum over tokens of (+1/−1) is positive); near-dups =
+                   pairs with identical signature (banded variants would
+                   extend to Hamming distance ≤ k).
+* embedding cosine — see similarity.py; near-dup = cosine above threshold.
+
+Every operator is mirrored by a DuckDB oracle (plans/oracles_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NGRAM = 3
+MAX_SHINGLE_DF = 100  # drop shingles appearing in more docs than this
+MINHASH_K = 8
+MINHASH_BANDS = 4  # rows per band = MINHASH_K / MINHASH_BANDS = 2
+SIMHASH_BITS = 16
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(fp, keep_id, n_copies) — canonical representative = min id."""
+    return (
+        docs.select(id_col, F.md5(F.col("text").cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", n: int = NGRAM) -> DataFrame:
+    """(doc_id, sh) — distinct word n-gram shingles per doc. Docs with fewer
+    than n tokens produce no shingles."""
+    toks = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        docs.where(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("sh"))
+        .dropDuplicates(["doc_id", "sh"])
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.05,
+    id_col: str = "doc_id",
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """(a, b, jaccard) with a < b and jaccard >= threshold, rounded 6dp."""
+    sh = shingles(docs, id_col).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # stop-shingle removal bounds the candidate join fan-out
+    rare = sh.join(
+        sh.groupBy("sh").agg(F.count("*").alias("df")).where(F.col("df") <= max_df),
+        "sh",
+    ).select("doc_id", "sh")
+    inter = (
+        rare.alias("x")
+        .join(rare.alias("y"), "sh")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", k: int = MINHASH_K
+) -> DataFrame:
+    """(doc_id, j, mh) — j-th minhash = lexicographic min of md5(j|shingle)."""
+    sh = shingles(docs, id_col)
+    js = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    return (
+        sh.select("doc_id", "sh", js)
+        .select(
+            "doc_id",
+            "j",
+            F.md5(F.concat_ws("|", F.col("j").cast("string"), "sh").cast("binary")).alias("h"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """(a, b) distinct candidate pairs sharing at least one LSH band."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(docs, id_col, k)
+    band_keys = (
+        sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.col("j").cast("string"), "mh")))).alias("key"))
+    )
+    return (
+        band_keys.alias("x")
+        .join(band_keys.alias("y"), ["band", "key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def _nibble(hexcol, i: int):
+    """Value 0-15 of hex digit i (1-based) — portable via strpos trick."""
+    return F.instr(F.lit("0123456789abcdef"), F.substring(hexcol, i, 1)) - 1
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — bits from per-distinct-token md5 nibbles.
+
+    Bit b (0-based) uses bit (b % 4) of hex nibble (b // 4 + 1) of the
+    token's md5; sign = sum over tokens of ±1; bit set iff sum > 0.
+    """
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .where(F.col("tok") != "")
+        .withColumn("h", F.md5(F.col("tok").cast("binary")))
+    )
+    aggs = []
+    for b in range(bits):
+        nib = _nibble(F.col("h"), b // 4 + 1)
+        bit = F.shiftright(nib, b % 4) % 2
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{b}"))
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_dup_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(a, b) pairs with identical simhash signature."""
+    sig = simhash(docs, id_col)
+    return (
+        sig.alias("x")
+        .join(sig.alias("y"), "simhash")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )

@@ -33,7 +33,7 @@ def token_count(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(
         id_col,
         F.size(tokens("text")).cast("long").alias("n_tokens"),
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE))).cast("long").alias(
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE), 0)).cast("long").alias(
             "n_bpeish"
         ),
     )

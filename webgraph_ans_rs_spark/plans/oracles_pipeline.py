@@ -1,0 +1,173 @@
+"""DuckDB oracle SQL for the training-data pipeline operators.
+
+Each builder mirrors the Spark implementation expression-for-expression
+(same float-op order, same rounding, same tie-breaks) — see
+operators/textstats.py, operators/dedup.py, operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from ..operators.dedup import MAX_SHINGLE_DF, MINHASH_BANDS, MINHASH_K, NGRAM, SIMHASH_BITS
+from ..operators.textstats import LANG_MARKERS, STOPWORDS, WORD_RE
+
+
+def token_count_sql() -> str:
+    return (
+        "SELECT doc_id,"
+        " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,"
+        f" CAST(len(regexp_extract_all(lower(text), '{WORD_RE}')) AS BIGINT) AS n_bpeish"
+        " FROM documents"
+    )
+
+
+def lang_id_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_exprs = []
+    for lang in langs:
+        terms = " + ".join(
+            f"CASE WHEN list_contains(toks, '{m}') THEN 1 ELSE 0 END"
+            for m in LANG_MARKERS[lang]
+        )
+        score_exprs.append(f"({terms}) AS s_{lang}")
+    best = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN s_{l} = best THEN '{l}'" for l in langs
+    ) + " END"
+    return (
+        "WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),\n"
+        f"s AS (SELECT doc_id, {', '.join(score_exprs)} FROM t),\n"
+        f"b AS (SELECT *, {best} AS best FROM s)\n"
+        f"SELECT doc_id, {pred} AS lang_pred, CAST(best AS BIGINT) AS lang_score FROM b"
+    )
+
+
+def quality_score_sql() -> str:
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return (
+        "WITH t AS (SELECT doc_id, text,"
+        " CAST(length(text) AS BIGINT) AS n_chars,"
+        " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,"
+        f" len(list_filter(string_split(text, ' '), x -> lower(x) IN ({sw}))) AS n_sw,"
+        " length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_sym"
+        " FROM documents),\n"
+        "r AS (SELECT doc_id, n_chars, n_tokens,"
+        " ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS mean_token_len,"
+        " ROUND(CAST(n_sw AS DOUBLE) / n_tokens, 6) AS stopword_ratio,"
+        " ROUND(CAST(n_sym AS DOUBLE) / n_chars, 6) AS symbol_ratio"
+        " FROM t)\n"
+        "SELECT doc_id, n_chars, n_tokens, mean_token_len, stopword_ratio, symbol_ratio,"
+        " ROUND(CAST(0.4 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE))"
+        " + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - symbol_ratio)"
+        " + CAST(0.3 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE), stopword_ratio * CAST(10.0 AS DOUBLE)), 6) AS quality"
+        " FROM r"
+    )
+
+
+def fingerprint_sql() -> str:
+    return (
+        "SELECT doc_id, md5(text) AS fp,"
+        " md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp_norm"
+        " FROM documents"
+    )
+
+
+def exact_dedup_sql() -> str:
+    return (
+        "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies"
+        " FROM documents GROUP BY 1"
+    )
+
+
+def _shingles_cte(n: int = NGRAM) -> str:
+    return (
+        "d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),\n"
+        f"sh0 AS (SELECT doc_id, l, unnest(range(1, len(l) - {n - 2})) AS i FROM d),\n"
+        f"sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+{n - 1}], ' ') AS sh FROM sh0)"
+    )
+
+
+def ngram_jaccard_sql(threshold: float = 0.05, max_df: int = MAX_SHINGLE_DF) -> str:
+    return (
+        f"WITH {_shingles_cte()},\n"
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),\n"
+        f"rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1) f"
+        f" ON f.sh = s.sh WHERE f.df <= {max_df}),\n"
+        "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter"
+        " FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)\n"
+        "SELECT a, b, jaccard FROM ("
+        "SELECT a, b, ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard"
+        " FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)"
+        f" WHERE jaccard >= {threshold}"
+    )
+
+
+def minhash_lsh_sql(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> str:
+    rpb = k // bands
+    return (
+        f"WITH {_shingles_cte()},\n"
+        f"jj AS (SELECT doc_id, sh, unnest(range(0, {k})) AS j FROM sh),\n"
+        "mh AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || '|' || sh)) AS mh"
+        " FROM jj GROUP BY 1, 2),\n"
+        f"bk AS (SELECT doc_id, CAST(j // {rpb} AS INT) AS band,"
+        " string_agg(CAST(j AS VARCHAR) || ':' || mh, '|'"
+        " ORDER BY CAST(j AS VARCHAR) || ':' || mh) AS key"
+        " FROM mh GROUP BY 1, 2)\n"
+        "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x"
+        " JOIN bk y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id"
+    )
+
+
+def simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    sums = []
+    for b in range(bits):
+        nib = f"(strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1)"
+        bit = f"(({nib} >> {b % 4}) & 1)"
+        sums.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{b}")
+    sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return (
+        "WITH toks AS (SELECT DISTINCT doc_id, tok FROM ("
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)"
+        " WHERE tok <> ''),\n"
+        "h AS (SELECT doc_id, md5(tok) AS h FROM toks),\n"
+        f"s AS (SELECT doc_id, {', '.join(sums)} FROM h GROUP BY doc_id)\n"
+        f"SELECT doc_id, {sig} AS simhash FROM s"
+    )
+
+
+def _emb_cte() -> str:
+    return "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"list_inner_product({a}, {b})"
+        f" / (sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+    )
+
+
+def cosine_topk_sql(query_ids: list[int], k: int = 5) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return (
+        f"WITH {_emb_cte()},\n"
+        f"q AS (SELECT vec_id AS qa, v AS qv FROM e WHERE vec_id IN ({ids})),\n"
+        "scored AS (SELECT qa, e.vec_id AS vb,"
+        f" ROUND({_cos('qv', 'e.v')}, 6) AS cos"
+        " FROM e, q WHERE qa <> e.vec_id)\n"
+        "SELECT qa, vb, cos, rn FROM ("
+        "SELECT qa, vb, cos, ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos DESC, vb ASC) AS rn"
+        f" FROM scored) WHERE rn <= {k}"
+    )
+
+
+def cosine_neardup_sql(threshold: float = 0.95) -> str:
+    return (
+        f"WITH {_emb_cte()}\n"
+        "SELECT a, b, cos FROM ("
+        "SELECT x.vec_id AS a, y.vec_id AS b,"
+        f" ROUND({_cos('x.v', 'y.v')}, 6) AS cos"
+        " FROM e x JOIN e y ON x.vec_id < y.vec_id)"
+        f" WHERE cos >= {threshold}"
+    )
