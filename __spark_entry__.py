@@ -31,6 +31,7 @@ from webgraph_ans_rs_spark.operators.triangles import (
     triangles_per_vertex,
 )
 from webgraph_ans_rs_spark.operators import dedup as dd
+from webgraph_ans_rs_spark.operators import relational as rel
 from webgraph_ans_rs_spark.operators import similarity as sim
 from webgraph_ans_rs_spark.operators import textstats as ts
 from webgraph_ans_rs_spark.plans import derived_graph as dg
@@ -179,6 +180,20 @@ def _q_cosine_neardup(spark, sf_dir):
     return sim.cosine_neardup_pairs(emb, threshold=0.3)
 
 
+def _q_pricing_summary(spark, sf_dir):
+    return rel.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_top_customers(spark, sf_dir):
+    return rel.top_customers_by_spend(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    return rel.events_hourly(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_count": _q_token_count,
@@ -191,6 +206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "cosine_neardup": _q_cosine_neardup,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "events_hourly": _q_events_hourly,
         "outdegree": _q_outdegree,
         "indegree": _q_indegree,
         "degree_distribution": _q_degree_distribution,
@@ -216,6 +234,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": op.simhash_sql(),
         "cosine_topk": op.cosine_topk_sql(SIM_QUERY_IDS),
         "cosine_neardup": op.cosine_neardup_sql(0.3),
+        "pricing_summary": op.pricing_summary_sql(),
+        "top_customers": op.top_customers_sql(),
+        "events_hourly": op.events_hourly_sql(),
         "outdegree": oracles.outdegree_sql(),
         "indegree": oracles.indegree_sql(),
         "degree_distribution": oracles.degree_distribution_sql(),

@@ -1,0 +1,128 @@
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from webgraph_ans_rs_spark.operators.multimodal import (
+    attach_payload_meta,
+    decode_image_batches,
+    frame_sample,
+)
+from webgraph_ans_rs_spark.streaming.windows import (
+    sessionize,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i,
+                t0 + datetime.timedelta(minutes=3 * i),
+                i % 7,
+                ["click", "view", "error"][i % 3],
+                float(i),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_windowed_counts_batch(events):
+    out = windowed_event_counts(events).collect()
+    total = sum(r.n_events for r in out)
+    assert total == 200
+    # 200 events * 3 min = 600 min = 10 hours of windows
+    starts = {r.window_start for r in out}
+    assert len(starts) == 10
+    for r in out:
+        assert r.window_start.minute == 0
+
+
+def test_windowed_counts_streaming_matches_batch(spark, events, tmp_path):
+    """Same transformation through a real file-source stream == batch."""
+    src = str(tmp_path / "stream_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = windowed_event_counts(stream, watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winq")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("select * from winq").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in windowed_event_counts(events).collect()
+    }
+    assert got == want
+
+
+def test_sessionize(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0),
+        (1, t0 + datetime.timedelta(minutes=10)),  # same session
+        (1, t0 + datetime.timedelta(hours=2)),  # new session
+        (2, t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize(df).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
+
+
+@pytest.fixture(scope="module")
+def payloads(spark):
+    rows = [
+        (0, b"\x89PNG\r\n\x1a\n" + b"x" * 100),
+        (1, b"\xff\xd8\xff\xe0" + b"y" * 50),
+        (2, b"plain bytes"),
+        (3, None),
+    ]
+    return spark.createDataFrame(rows, "key long, payload binary")
+
+
+def test_attach_payload_meta(payloads):
+    out = {r.key: r for r in attach_payload_meta(payloads).collect()}
+    assert out[0].payload_kind == "png"
+    assert out[1].payload_kind == "jpeg"
+    assert out[2].payload_kind == "unknown"
+    assert out[0].payload_len == 108
+    assert out[3].payload_md5 is None
+
+
+def test_decode_image_batches_deterministic(payloads):
+    a = {r.key: (r.kind, r.width, r.height, tuple(r.features)) for r in decode_image_batches(payloads).collect()}
+    b = {r.key: (r.kind, r.width, r.height, tuple(r.features)) for r in decode_image_batches(payloads).collect()}
+    assert a == b
+    assert a[0][0] == "png"
+    assert all(len(v[3]) == 8 for v in a.values())
+    assert all(16 <= v[1] <= 255 for v in a.values())
+
+
+def test_frame_sample_shape(payloads):
+    out = frame_sample(payloads, every_n=10, max_frames=5).collect()
+    per_key = {}
+    for r in out:
+        per_key.setdefault(r.key, []).append(r.frame_idx)
+    for key, idxs in per_key.items():
+        assert len(idxs) <= 5
+        assert idxs == sorted(idxs)
+        assert all(i % 10 == 0 for i in idxs)

@@ -162,6 +162,36 @@ def cosine_topk_sql(query_ids: list[int], k: int = 5) -> str:
     )
 
 
+def pricing_summary_sql() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus,"
+        " ROUND(SUM(l_quantity), 6) AS sum_qty,"
+        " ROUND(SUM(l_extendedprice), 6) AS sum_base_price,"
+        " ROUND(SUM(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 6) AS sum_disc_price,"
+        " ROUND(AVG(l_quantity), 6) AS avg_qty,"
+        " ROUND(AVG(l_discount), 6) AS avg_disc,"
+        " COUNT(*) AS count_order"
+        " FROM lineitem GROUP BY 1, 2"
+    )
+
+
+def top_customers_sql(k: int = 20) -> str:
+    return (
+        "SELECT custkey, c_name, total_spend FROM ("
+        "SELECT o_custkey AS custkey, ROUND(SUM(o_totalprice), 6) AS total_spend"
+        " FROM orders GROUP BY 1) s JOIN customer c ON c.c_custkey = s.custkey"
+        f" ORDER BY total_spend DESC, custkey ASC LIMIT {k}"
+    )
+
+
+def events_hourly_sql() -> str:
+    return (
+        "SELECT date_trunc('hour', ts) AS window_start, event_type,"
+        " COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value"
+        " FROM events GROUP BY 1, 2"
+    )
+
+
 def cosine_neardup_sql(threshold: float = 0.95) -> str:
     return (
         f"WITH {_emb_cte()}\n"
