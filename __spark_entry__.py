@@ -61,9 +61,23 @@ def _clustered(spark: SparkSession, sf_dir: str):
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: build the derived web graph at sf0.001, run 5-superstep
-    PageRank, return top-20 (vertex, pr, outdeg)."""
-    edges, verts = _graph(spark, SMOKE_SF_DIR)
+    """Flagship (SURVEY.md §7 minimum slice): synthetic pages → Arrow-UDF
+    HTML extraction → xxhash64 edges → CSR adjacency → 5-superstep
+    PageRank; returns top-20 (vertex, pr, outdeg). Exercises scan, UDF,
+    explode, shuffle, agg, join, and the superstep loop in one plan."""
+    from pyspark.sql import functions as SF
+
+    from webgraph_ans_rs_spark.datagen import synthetic_pages
+    from webgraph_ans_rs_spark.operators.extract import extract_text_and_links
+    from webgraph_ans_rs_spark.operators.graph_build import edges_from_pages
+
+    pages = synthetic_pages(spark, 500)
+    edges = edges_from_pages(extract_text_and_links(pages)).persist()
+    verts = (
+        edges.select(SF.col("src").alias("vertex"))
+        .union(edges.select(SF.col("dst").alias("vertex")))
+        .distinct()
+    )
     result = pagerank(edges, verts, max_iter=PAGERANK_ITERS, tol=None)
     deg = outdegrees(edges, verts)
     return (
@@ -194,6 +208,36 @@ def _q_events_hourly(spark, sf_dir):
     return rel.events_hourly(load_table(spark, sf_dir, "events"))
 
 
+def _q_sessionize(spark, sf_dir):
+    from webgraph_ans_rs_spark.streaming.windows import sessionize
+
+    return sessionize(load_table(spark, sf_dir, "events"), gap="30 minutes")
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    return dd.simhash_dup_pairs(_docs(spark, sf_dir))
+
+
+def _q_lsh_topk(spark, sf_dir):
+    """Rows-only check: approximate ANN has no SQL-expressible oracle;
+    exactness is property-tested against brute force in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(emb, SIM_QUERY_IDS, dim=64)
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    """Binary-payload metadata over documents' text bytes (the testdata has
+    no binary column; payload = utf8 bytes, deterministic)."""
+    from webgraph_ans_rs_spark.operators.multimodal import attach_payload_meta
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return attach_payload_meta(docs).select(
+        "doc_id", "payload_len", "payload_md5", "payload_kind"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_count": _q_token_count,
@@ -209,6 +253,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "events_hourly": _q_events_hourly,
+        "sessionize": _q_sessionize,
+        "simhash_pairs": _q_simhash_pairs,
+        "multimodal_meta": _q_multimodal_meta,
+        "lsh_topk": _q_lsh_topk,
         "outdegree": _q_outdegree,
         "indegree": _q_indegree,
         "degree_distribution": _q_degree_distribution,
@@ -237,6 +285,12 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": op.pricing_summary_sql(),
         "top_customers": op.top_customers_sql(),
         "events_hourly": op.events_hourly_sql(),
+        "sessionize": op.sessionize_sql(30),
+        "simhash_pairs": op.simhash_pairs_sql(),
+        "multimodal_meta": op.multimodal_meta_sql(),
+        # lsh_topk intentionally has no oracle (approximate ANN) →
+        # the driver records a rows-only check; exactness is
+        # property-tested against brute force in tests/test_pipeline_ops.py
         "outdegree": oracles.outdegree_sql(),
         "indegree": oracles.indegree_sql(),
         "degree_distribution": oracles.degree_distribution_sql(),

@@ -1,0 +1,110 @@
+"""Physical-plan audit: verify the plans Catalyst produces are the ones a
+100 TB deployment needs (pushdown, pruning, partial aggregation, broadcast,
+codegen). Prints a PASS/FAIL line per property; run after operator changes.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from webgraph_ans_rs_spark.operators.degrees import outdegrees  # noqa: E402
+from webgraph_ans_rs_spark.operators.graph_build import (  # noqa: E402
+    build_csr_adjacency,
+)
+from webgraph_ans_rs_spark.operators.relational import pricing_summary  # noqa: E402
+from webgraph_ans_rs_spark.plans.derived_graph import hash_edges, vertices  # noqa: E402
+from webgraph_ans_rs_spark.session import get_spark  # noqa: E402
+from webgraph_ans_rs_spark.sources.tables import load_table  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+checks: list[tuple[str, bool, str]] = []
+
+
+def check(name: str, ok: bool, detail: str = "") -> None:
+    checks.append((name, ok, detail))
+    print(f"[{'PASS' if ok else 'FAIL'}] {name} {detail}")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return str(df._jdf.queryExecution().optimizedPlan())
+
+
+def main() -> int:
+    spark = get_spark("plan-audit", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, SF, "documents")
+    li = load_table(spark, SF, "lineitem")
+
+    # 1. column pruning: projecting 2 cols reads only 2 cols from parquet
+    two = docs.select("doc_id", "lang")
+    p = plan_of(two)
+    check(
+        "column-pruning: documents 2-col projection",
+        "ReadSchema: struct<doc_id:bigint,lang:string>" in p,
+    )
+
+    # 2. filter pushdown reaches the scan
+    flt = li.where(F.col("l_quantity") > 49.0).select("l_orderkey")
+    p = plan_of(flt)
+    check(
+        "filter-pushdown: lineitem l_quantity>49",
+        "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,49.0)" in p,
+        "",
+    )
+
+    # 3. partial aggregation before the shuffle (map-side combine)
+    edges = hash_edges(docs, docs.count())
+    deg = outdegrees(edges, vertices(docs))
+    p = plan_of(deg)
+    check(
+        "partial-agg: outdegree groupBy has map-side partial_count",
+        "partial_count" in p or "HashAggregate(keys=[src" in p,
+    )
+
+    # 4. pricing summary: whole-stage codegen covers the aggregation
+    # (materialize first — AQE only finalizes codegen spans on execution)
+    ps = pricing_summary(li)
+    ps.collect()  # finalize AQE on THIS plan, not a derived count() plan
+    p = plan_of(ps)
+    # '*(n)' prefixes mark WholeStageCodegen spans in compact plan strings
+    check(
+        "codegen: pricing summary inside WholeStageCodegen",
+        "WholeStageCodegen" in p or "*(1)" in p,
+    )
+    check("partial-agg: pricing summary partial_sum", "partial_sum" in p)
+
+    # 5. small-dim join broadcasts
+    nation = load_table(spark, SF, "nation")
+    cust = load_table(spark, SF, "customer")
+    j = cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+    j.count()  # let AQE finalize
+    p = plan_of(j)
+    check("broadcast: customer ⋈ nation uses BroadcastHashJoin", "BroadcastHashJoin" in p)
+
+    # 6. CSR point lookup prunes partitions after repartition-by-src write
+    adj = build_csr_adjacency(edges, num_buckets=8)
+    one = adj.where(F.col("src") == 42)
+    op = optimized_of(one)
+    check(
+        "csr-lookup: filter sits below the aggregate (pushed through plan)",
+        "Filter" in op,
+    )
+
+    # 7. no Python UDFs in pure-relational plans
+    check("jvm-only: degree plan has no BatchEvalPython", "BatchEvalPython" not in plan_of(deg))
+
+    failed = [c for c in checks if not c[1]]
+    print(f"\n{len(checks) - len(failed)}/{len(checks)} plan properties hold")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -137,6 +137,22 @@ def simhash_sql(bits: int = SIMHASH_BITS) -> str:
     )
 
 
+def simhash_pairs_sql(bits: int = SIMHASH_BITS) -> str:
+    return (
+        f"WITH sig AS ({simhash_sql(bits)})\n"
+        f"SELECT x.doc_id AS a, y.doc_id AS b FROM sig x"
+        f" JOIN sig y ON x.simhash = y.simhash AND x.doc_id < y.doc_id"
+    )
+
+
+def multimodal_meta_sql() -> str:
+    """payload = utf8 bytes of text; strlen() is byte length in DuckDB."""
+    return (
+        "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS payload_len,"
+        " md5(text) AS payload_md5, 'unknown' AS payload_kind FROM documents"
+    )
+
+
 def _emb_cte() -> str:
     return "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 
@@ -181,6 +197,25 @@ def top_customers_sql(k: int = 20) -> str:
         "SELECT o_custkey AS custkey, ROUND(SUM(o_totalprice), 6) AS total_spend"
         " FROM orders GROUP BY 1) s JOIN customer c ON c.c_custkey = s.custkey"
         f" ORDER BY total_spend DESC, custkey ASC LIMIT {k}"
+    )
+
+
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    """Session windows via gap detection (lag + running sum); session_end
+    mirrors Spark's session_window semantics: max(ts) + gap."""
+    return (
+        f"WITH x AS (SELECT user_id, ts,"
+        f" CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+        f" > INTERVAL {gap_minutes} MINUTE"
+        f" OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL"
+        f" THEN 1 ELSE 0 END AS brk FROM events),\n"
+        f"s AS (SELECT user_id, ts,"
+        f" SUM(brk) OVER (PARTITION BY user_id ORDER BY ts"
+        f" ROWS UNBOUNDED PRECEDING) AS sid FROM x)\n"
+        f"SELECT user_id, MIN(ts) AS session_start,"
+        f" MAX(ts) + INTERVAL {gap_minutes} MINUTE AS session_end,"
+        f" COUNT(*) AS n_events"
+        f" FROM s GROUP BY user_id, sid"
     )
 
 
