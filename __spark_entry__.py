@@ -42,22 +42,28 @@ from webgraph_ans_rs_spark.sources.tables import load_table
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 PAGERANK_ITERS = 5
 LP_ITERS = 2
+EMB_DIM = 64  # testdata embeddings dim; oracle SQL needs it statically
+_N_DOCS_CACHE: dict[str, int] = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _n_docs(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _N_DOCS_CACHE:
+        _N_DOCS_CACHE[sf_dir] = _docs(spark, sf_dir).count()
+    return _N_DOCS_CACHE[sf_dir]
+
+
 def _graph(spark: SparkSession, sf_dir: str):
     docs = _docs(spark, sf_dir)
-    n = docs.count()
-    return dg.hash_edges(docs, n), dg.vertices(docs)
+    return dg.hash_edges(docs, _n_docs(spark, sf_dir)), dg.vertices(docs)
 
 
 def _clustered(spark: SparkSession, sf_dir: str):
     docs = _docs(spark, sf_dir)
-    n = docs.count()
-    return dg.clustered_edges(docs, n), dg.vertices(docs)
+    return dg.clustered_edges(docs, _n_docs(spark, sf_dir)), dg.vertices(docs)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -80,11 +86,14 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     result = pagerank(edges, verts, max_iter=PAGERANK_ITERS, tol=None)
     deg = outdegrees(edges, verts)
-    return (
+    top = (
         result.ranks.join(deg, "vertex")
         .orderBy(F.desc("pr"), F.asc("vertex"))
         .limit(20)
+        .localCheckpoint(eager=True)  # materialize so the cache can go
     )
+    edges.unpersist()
+    return top
 
 
 # ------------------------- queries -------------------------
@@ -190,8 +199,12 @@ def _q_cosine_topk(spark, sf_dir):
 
 
 def _q_cosine_neardup(spark, sf_dir):
+    """Banded-LSH near-dup over the deterministically enriched embedding
+    set (testdata has no true near-dups) — the scale-safe plan; the
+    all-pairs form is pytest-only."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.cosine_neardup_pairs(emb, threshold=0.3)
+    enriched = sim.neardup_enriched_embeddings(emb)
+    return sim.cosine_neardup_pairs_lsh(enriched, dim=EMB_DIM)
 
 
 def _q_pricing_summary(spark, sf_dir):
@@ -222,7 +235,16 @@ def _q_lsh_topk(spark, sf_dir):
     """Rows-only check: approximate ANN has no SQL-expressible oracle;
     exactness is property-tested against brute force in pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.lsh_topk(emb, SIM_QUERY_IDS, dim=64)
+    return sim.lsh_topk(emb, SIM_QUERY_IDS)
+
+
+def _q_dense_ids(spark, sf_dir):
+    """Dense 0..N-1 relabeling of the vertex universe (reference node ids
+    are dense, /root/reference/src/ans/mod.rs:44)."""
+    from webgraph_ans_rs_spark.operators.graph_build import dense_ids
+
+    _, verts = _graph(spark, sf_dir)
+    return dense_ids(verts)
 
 
 def _q_multimodal_meta(spark, sf_dir):
@@ -257,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "multimodal_meta": _q_multimodal_meta,
         "lsh_topk": _q_lsh_topk,
+        "dense_ids": _q_dense_ids,
         "outdegree": _q_outdegree,
         "indegree": _q_indegree,
         "degree_distribution": _q_degree_distribution,
@@ -281,7 +304,15 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": op.minhash_lsh_sql(),
         "simhash": op.simhash_sql(),
         "cosine_topk": op.cosine_topk_sql(SIM_QUERY_IDS),
-        "cosine_neardup": op.cosine_neardup_sql(0.3),
+        "cosine_neardup": op.cosine_neardup_lsh_sql(
+            sim.NEARDUP_THRESHOLD,
+            sim.NEARDUP_BANDS,
+            sim.NEARDUP_PLANES_PER_BAND,
+            EMB_DIM,
+            sim.NEARDUP_DUP_MOD,
+            sim.NEARDUP_DUP_OFFSET,
+            sim.NEARDUP_DUP_DELTA,
+        ),
         "pricing_summary": op.pricing_summary_sql(),
         "top_customers": op.top_customers_sql(),
         "events_hourly": op.events_hourly_sql(),
@@ -291,6 +322,10 @@ def oracle_sql() -> dict[str, str]:
         # lsh_topk intentionally has no oracle (approximate ANN) →
         # the driver records a rows-only check; exactness is
         # property-tested against brute force in tests/test_pipeline_ops.py
+        "dense_ids": (
+            "SELECT vertex, CAST(ROW_NUMBER() OVER (ORDER BY vertex) - 1 AS BIGINT)"
+            " AS dense_id FROM (SELECT CAST(doc_id AS BIGINT) AS vertex FROM documents)"
+        ),
         "outdegree": oracles.outdegree_sql(),
         "indegree": oracles.indegree_sql(),
         "degree_distribution": oracles.degree_distribution_sql(),

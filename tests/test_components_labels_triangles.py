@@ -3,7 +3,10 @@ from __future__ import annotations
 import itertools
 
 from tests.conftest import seeded_random_graph
-from webgraph_ans_rs_spark.operators.components import connected_components
+from webgraph_ans_rs_spark.operators.components import (
+    connected_components,
+    connected_components_pointer_jump,
+)
 from webgraph_ans_rs_spark.operators.labelprop import label_propagation
 from webgraph_ans_rs_spark.operators.triangles import (
     orient_by_degree,
@@ -97,6 +100,40 @@ def test_cc_long_path(spark):
     assert got == {v: 0 for v in range(n)}
 
 
+def test_cc_star_vs_pointer_jump_on_skewed_graph(spark):
+    """One giant component (a hub star swallowing 90% of vertices) plus
+    small clusters — the shape where a label-keyed join funnels everything
+    through one shuffle key. Star CC must agree with pointer-jump exactly,
+    and with union-find."""
+    n = 500
+    es = (
+        [(0, i) for i in range(1, 450)]          # giant star
+        + [(i, i + 1) for i in range(100, 448)]  # chords inside the giant comp
+        + [(450 + i, 450 + (i * 3 + 1) % 25) for i in range(25)]  # cluster
+    )
+    edges = spark.createDataFrame(es, "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "vertex long")
+    star = {r.vertex: r.component for r in connected_components(edges, verts).collect()}
+    jump = {
+        r.vertex: r.component
+        for r in connected_components_pointer_jump(edges, verts).collect()
+    }
+    assert star == jump == unionfind_components(es, n)
+
+
+def test_cc_star_round_count_on_path(spark):
+    """Star contraction is O(log^2 n)-ish: a 128-path must converge well
+    under the diameter (128) rounds — checked via max_rounds headroom."""
+    n = 128
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "vertex long")
+    got = {
+        r.vertex: r.component
+        for r in connected_components(edges, verts, max_rounds=15).collect()
+    }
+    assert got == {v: 0 for v in range(n)}
+
+
 def test_lp_matches_python(spark):
     edges, verts, es, n = seeded_random_graph(spark, n=100, m=300)
     for iters in (1, 3):
@@ -112,25 +149,31 @@ def test_triangles_fixture(triangle_graph):
 
 
 def test_triangles_random_matches_brute(spark):
+    """Both orientations enumerate the same triangle vertex-sets; the
+    degree-oriented default names triples in (degree, id) order, so
+    canonicalize before comparing."""
     edges, verts, es, n = seeded_random_graph(spark, n=60, m=300)
-    want = brute_triangles(es, n)
-    got = sorted(tuple(r) for r in triangle_list(edges).collect())
-    assert got == sorted(want)
+    want = sorted(brute_triangles(es, n))
+    got_deg = sorted(tuple(sorted(r)) for r in triangle_list(edges).collect())
+    got_id = sorted(tuple(r) for r in triangle_list(edges, orientation="id").collect())
+    assert got_deg == want
+    assert got_id == want
 
 
-def test_degree_orientation_same_count(spark):
-    """Degree-ordered orientation must count the same triangles."""
-    edges, verts, es, n = seeded_random_graph(spark, n=60, m=300)
-    e = orient_by_degree(edges)
+def test_degree_orientation_acyclic_and_hub_safe(spark):
+    """orient_by_degree must be an acyclic orientation (each undirected
+    edge exactly once) and must leave hubs with near-zero forward degree
+    on a star-skewed graph — the property that bounds the first join."""
     from pyspark.sql import functions as F
 
-    e1 = e.alias("e1")
-    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = e.select(F.col("a"), F.col("b").alias("c"))
-    # with degree orientation the wedge check needs all 3 orientations of
-    # the closing edge handled; count via undirected closing-edge test
-    und = e.select("a", "b").unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    closing = und.select(F.col("a"), F.col("b").alias("c"))
-    wedges = e1.join(e2, "b").select("a", "b", "c")
-    n_tri = wedges.join(closing, ["a", "c"]).count()
-    assert n_tri == len(brute_triangles(es, n))
+    hub_edges = [(0, i) for i in range(1, 200)] + [(i, i + 1) for i in range(1, 30)]
+    edges = spark.createDataFrame(hub_edges, "src long, dst long")
+    e = orient_by_degree(edges)
+    rows = e.collect()
+    # each undirected edge appears exactly once, in exactly one direction
+    seen = {(min(r.a, r.b), max(r.a, r.b)) for r in rows}
+    assert len(rows) == len(seen) == len(set((min(a, b), max(a, b)) for a, b in hub_edges))
+    # the hub (vertex 0, degree 199) keeps no forward neighbors: every
+    # other vertex has smaller degree, so all its edges point at it
+    fwd = e.groupBy("a").agg(F.count("*").alias("d")).where(F.col("a") == 0).collect()
+    assert fwd == []

@@ -77,3 +77,24 @@ def test_choose_bucket_count():
     assert choose_bucket_count(0) == 1
     assert choose_bucket_count(4_000_000) == 1
     assert choose_bucket_count(40_000_000_000) == 16384  # 100TB-ish edge count
+
+
+def test_dense_ids_rank_order(spark):
+    """dense_ids = rank 0..N-1 in ascending id order, window-free."""
+    from webgraph_ans_rs_spark.operators.graph_build import dense_ids
+
+    vals = [977, 3, 512, -40, 0, 123456789, 7, 8, 9, 10, 2**40, -(2**40)]
+    verts = spark.createDataFrame([(v,) for v in vals], "vertex long")
+    got = {r.vertex: r.dense_id for r in dense_ids(verts).collect()}
+    want = {v: i for i, v in enumerate(sorted(vals))}
+    assert got == want
+
+
+def test_dense_ids_many_partitions(spark):
+    from webgraph_ans_rs_spark.operators.graph_build import dense_ids
+
+    verts = spark.range(0, 5000).select((F.col("id") * 7919 % 5000).alias("vertex"))
+    out = dense_ids(verts.distinct())
+    rows = out.orderBy("dense_id").collect()
+    assert [r.dense_id for r in rows] == list(range(5000))
+    assert [r.vertex for r in rows] == sorted(set((i * 7919) % 5000 for i in range(5000)))

@@ -59,14 +59,36 @@ def test_minhash_lsh_candidates(docs):
 
 
 def test_simhash_identical_docs_equal(docs):
-    sigs = {r.doc_id: r.simhash for r in dd.simhash(docs).collect()}
+    sigs = {r.doc_id: (r.sim_hi, r.sim_lo) for r in dd.simhash(docs).collect()}
     assert sigs[0] == sigs[1]
-    assert 0 <= sigs[0] < 2**16
+    for hi, lo in sigs.values():
+        assert 0 <= hi < 2**32 and 0 <= lo < 2**32  # halves never touch the sign bit
     # hamming distance of near-dup is small, far doc is larger
     def ham(a, b):
-        return bin(a ^ b).count("1")
+        return bin((a[0] ^ b[0])).count("1") + bin((a[1] ^ b[1])).count("1")
 
     assert ham(sigs[0], sigs[2]) <= ham(sigs[0], sigs[5])
+
+
+def test_simhash_pairs_banding_recall_is_exact(docs):
+    """Pigeonhole banding has recall 1.0: banded candidates + Hamming filter
+    must equal the brute-force Hamming-<=k pair set over the signatures."""
+    k = dd.SIMHASH_HAMMING_K
+    sigs = {r.doc_id: (r.sim_hi, r.sim_lo) for r in dd.simhash(docs).collect()}
+
+    def ham(a, b):
+        return bin((a[0] ^ b[0])).count("1") + bin((a[1] ^ b[1])).count("1")
+
+    ids = sorted(sigs)
+    want = {
+        (a, b): ham(sigs[a], sigs[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(sigs[a], sigs[b]) <= k
+    }
+    got = {(r.a, r.b): r.hamming for r in dd.simhash_dup_pairs(docs).collect()}
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 0  # identical docs
 
 
 def test_cosine_topk_exact(vecs):
@@ -81,6 +103,31 @@ def test_cosine_topk_exact(vecs):
 def test_cosine_neardup_pairs(vecs):
     got = {(r.a, r.b) for r in sim.cosine_neardup_pairs(vecs, threshold=0.95).collect()}
     assert got == {(0, 1), (2, 3)}
+
+
+def test_cosine_neardup_lsh_recall(spark):
+    """Banded LSH near-dup must recover >= 90% of the brute-force pairs at
+    the default threshold on a clustered fixture, and never report a pair
+    brute force wouldn't (the exact cosine filter guarantees precision)."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(32)]
+        n = sum(x * x for x in v) ** 0.5
+        v = [x / n for x in v]
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, [x + rng.gauss(0, 0.03) for x in v]))  # twin
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = {
+        (r.a, r.b)
+        for r in sim.cosine_neardup_pairs(emb, threshold=sim.NEARDUP_THRESHOLD).collect()
+    }
+    lsh = {(r.a, r.b) for r in sim.cosine_neardup_pairs_lsh(emb, dim=32).collect()}
+    assert lsh <= brute  # precision 1.0 (exact filter)
+    assert len(brute) >= 50  # fixture sanity: twins really are near-dups
+    assert len(lsh) / len(brute) >= 0.9  # recall bound
 
 
 def test_lsh_topk_recall(spark):

@@ -1,24 +1,35 @@
-"""Connected components: min-label propagation + pointer jumping.
+"""Connected components — two implementations, same exact semantics.
 
-Per round (all hash joins/aggregations, shuffle keyed by vertex):
+``connected_components`` (the default) is Kiveris et al.'s alternating
+large-star / small-star: the state is a shrinking *edge set*, and every
+per-round operation is keyed by a plain vertex id whose fan-in is bounded
+by its current degree. This is the web-scale-safe formulation: there is no
+join keyed on a converging component label (in a web graph ~90% of vertices
+end up sharing one label, so a label-keyed join funnels nearly all rows
+through a single shuffle key — the scale defect of the pointer-jump
+variant below, kept for cross-checking). Per round:
 
-  nbr_min(v)  = min over undirected neighbors u of label(u)      (join+agg)
-  jump(v)     = label(label(v))   — pointer doubling             (self-join)
-  label'(v)   = min(label(v), nbr_min(v), jump(v))
+  large-star: symmetrize E; per vertex u with neighbors Γ(u),
+              m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+  small-star: orient E big→small; per vertex u with smaller neighbors N,
+              m = min(N ∪ {u}) = min(N); emit (v, m) for v ∈ N ∪ {u}, v≠m.
 
-Labels never increase and always name a vertex inside v's component, so at
-fixpoint every component carries its minimum vertex id — the exact
-min-reachable-label semantics of the DuckDB reachability oracle. Pointer
-jumping contracts label chains geometrically, giving O(log n)-ish rounds on
-long paths instead of O(diameter) (the reason Kiveris et al.'s
-large-star/small-star wins at web scale; this formulation keeps the same
-round complexity with a simpler pair-state: one (vertex, label) row per
-vertex rather than a mutating edge set).
+Both steps are a partial-agg-safe ``groupBy(u).min`` plus a join of the
+edge set against that V-sized min table (AQE skew-split covers hub keys —
+fan-in bounded by degree, not component size). At fixpoint the edge set is
+a star forest rooted at each component's minimum id; convergence is
+detected with an order-insensitive signature aggregation (count + sum of
+per-edge hashes), no extra join. O(log² n) rounds worst case.
 
-Convergence test = count of changed labels (cheap aggregation). Lineage is
-truncated per round (localCheckpoint); with a CheckpointManager rounds
-commit to parquet and runs resume (analogue of the reference's per-node
-phase/state resume points, /root/reference/src/ans/mod.rs:62-68).
+``connected_components_pointer_jump`` is the round-1 min-label +
+pointer-doubling formulation: one (vertex, label) row per vertex, per round
+label' = min(label, min over neighbors, label(label)). Exact same output;
+its jump self-join keys on the converging label, so it is the small-graph /
+cross-check path only.
+
+Lineage is truncated per round (localCheckpoint); with a CheckpointManager
+rounds commit to parquet and runs resume (analogue of the reference's
+per-node phase/state resume points, /root/reference/src/ans/mod.rs:62-68).
 """
 
 from __future__ import annotations
@@ -29,7 +40,105 @@ from pyspark.sql import functions as F
 from ..plans.derived_graph import undirected_symmetrize
 
 
+def _edge_signature(df: DataFrame) -> tuple[int, object]:
+    """Order-insensitive (count, hash-sum) signature of an edge set.
+    decimal(38,0) sum: overflow-free under ANSI mode for any edge count."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).alias("sig"),
+    ).first()
+    return row.n, row.sig
+
+
+def _star_labels(edges_star: DataFrame, verts: DataFrame) -> DataFrame:
+    """Star edge set (v, m) → (vertex, component); isolated vertices and
+    star roots are their own component."""
+    ptr = edges_star.select(F.col("src").alias("vertex"), F.col("dst").alias("component"))
+    return verts.join(ptr, "vertex", "left").select(
+        "vertex", F.coalesce("component", F.col("vertex")).alias("component")
+    )
+
+
 def connected_components(
+    edges: DataFrame,
+    verts: DataFrame,
+    max_rounds: int = 50,
+    checkpoint_manager=None,
+    job_id: str = "cc",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """(vertex long, component long) via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    ``shuffle_partitions``: optional LayoutPlan.shuffle_partitions for the
+    per-round edge repartition (defaults to the session shuffle setting).
+    """
+    # canonical big→small orientation; self-loops vanish, duplicates merged
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+    start_round = 0
+    if checkpoint_manager is not None:
+        # resume fingerprint: the canonical input edge set's (count, hash) —
+        # snapshots from a run over different edges are rejected
+        n0, sig0 = _edge_signature(e)
+        ckpt_params = {"edges_n": n0, "edges_sig": str(sig0)}
+        resumed = checkpoint_manager.latest_snapshot(job_id, params=ckpt_params)
+        if resumed is not None:
+            start_round, e = resumed
+    repart = (
+        (lambda df: df.repartition(shuffle_partitions, "src"))
+        if shuffle_partitions
+        else (lambda df: df.repartition("src"))
+    )
+    e = repart(e).localCheckpoint(eager=True)
+
+    sig = _edge_signature(e)
+    for rnd in range(start_round + 1, max_rounds + 1):
+        # --- large-star ---------------------------------------------------
+        sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("mn", "src").alias("m"))
+        )
+        large = (
+            sym.where(F.col("dst") > F.col("src"))
+            .join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+        # --- small-star ---------------------------------------------------
+        # input edges are big→small already (large-star emits v > m)
+        smins = large.groupBy("src").agg(F.min("dst").alias("m"))
+        attached = (
+            large.join(smins, "src")
+            .where(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        centers = smins.select("src", F.col("m").alias("dst"))
+        e_new = repart(attached.unionAll(centers).dropDuplicates(["src", "dst"]))
+        e_new = e_new.localCheckpoint(eager=True)
+        new_sig = _edge_signature(e_new)
+        e = e_new
+        if checkpoint_manager is not None:
+            checkpoint_manager.commit(
+                job_id, rnd, e, {"edges": new_sig[0]}, params=ckpt_params
+            )
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return _star_labels(e, verts)
+
+
+def connected_components_pointer_jump(
     edges: DataFrame,
     verts: DataFrame,
     max_rounds: int = 50,

@@ -14,10 +14,19 @@ hot path except where noted):
                    on), banded into b keys; candidates = pairs sharing a
                    band bucket. Scale path: cost is O(docs·k) + bucket join,
                    never all-pairs.
-* SimHash        — 16-bit signature from per-token md5 nibbles (bit b set
-                   iff sum over tokens of (+1/−1) is positive); near-dups =
-                   pairs with identical signature (banded variants would
-                   extend to Hamming distance ≤ k).
+* SimHash        — 64-bit signature from per-token md5 nibbles (bit b set
+                   iff sum over tokens of (+1/−1) is positive), carried as
+                   two 32-bit halves (sim_hi, sim_lo) so no expression ever
+                   touches the sign bit (DuckDB rejects 1<<63; Spark ANSI
+                   mode errors on long overflow). Near-dups = pairs within
+                   Hamming distance ≤ k, found by pigeonhole banding: split
+                   the 64 bits into (k+1) exact-match bands — any pair with
+                   ≤ k differing bits must agree on ≥ 1 whole band, so
+                   candidates come from (k+1) band-bucket joins (64-bit key
+                   space, never the all-pairs or 16-bit-key explosion),
+                   then the exact Hamming filter (bit_count of xor) keeps
+                   true near-dups. This is the standard web-corpus near-dup
+                   detector shape (Manku et al., WWW'07).
 * embedding cosine — see similarity.py; near-dup = cosine above threshold.
 
 Every operator is mirrored by a DuckDB oracle (plans/oracles_pipeline.py).
@@ -32,7 +41,8 @@ NGRAM = 3
 MAX_SHINGLE_DF = 100  # drop shingles appearing in more docs than this
 MINHASH_K = 8
 MINHASH_BANDS = 4  # rows per band = MINHASH_K / MINHASH_BANDS = 2
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64  # carried as two 32-bit halves (sim_hi, sim_lo)
+SIMHASH_HAMMING_K = 3  # near-dup iff Hamming distance <= k → k+1 bands of 16 bits
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -65,7 +75,16 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     max_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """(a, b, jaccard) with a < b and jaccard >= threshold, rounded 6dp."""
+    """(a, b, jaccard) with a < b and jaccard >= threshold, rounded 6dp.
+
+    APPROXIMATION: intersections count only *rare* shingles (document
+    frequency <= max_df, the candidate-join fan-out bound) while union
+    sizes count all shingles, so jaccard is a lower-bound estimate and
+    pairs sharing only stop-shingles are dropped entirely. This is the
+    intended web-scale semantics (stop-shingles carry no dedup signal and
+    explode candidate pairs quadratically); the DuckDB oracle mirrors the
+    same estimate.
+    """
     sh = shingles(docs, id_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # stop-shingle removal bounds the candidate join fan-out
@@ -145,11 +164,14 @@ def _nibble(hexcol, i: int):
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
-    """(doc_id, simhash) — bits from per-distinct-token md5 nibbles.
+    """(doc_id, sim_hi, sim_lo) — 64-bit simhash as two 32-bit halves.
 
-    Bit b (0-based) uses bit (b % 4) of hex nibble (b // 4 + 1) of the
-    token's md5; sign = sum over tokens of ±1; bit set iff sum > 0.
+    Bit b (0-based) uses bit (b % 4) of hex nibble (b // 4 + 1) of each
+    distinct token's md5; sign = sum over tokens of ±1; bit set iff
+    sum > 0. sim_lo carries bits 0..31, sim_hi bits 32..63; both are
+    non-negative longs, so no engine ever evaluates 1<<63.
     """
+    assert bits == 64, "simhash is fixed at 64 bits (two 32-bit halves)"
     toks = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
         .where(F.col("tok") != "")
@@ -161,18 +183,70 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", bits: int = SIMHASH_BITS) -
         bit = F.shiftright(nib, b % 4) % 2
         aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{b}"))
     sums = toks.groupBy("doc_id").agg(*aggs)
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        sig = sig + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sums.select("doc_id", sig.alias("simhash"))
+
+    def _half(lo_bit: int) -> F.Column:
+        half = F.lit(0).cast("long")
+        for i in range(32):
+            half = half + F.when(
+                F.col(f"s{lo_bit + i}") > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return half
+
+    return sums.select("doc_id", _half(32).alias("sim_hi"), _half(0).alias("sim_lo"))
 
 
-def simhash_dup_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(a, b) pairs with identical simhash signature."""
+def _band_chunk(hi, lo, band: int, width: int):
+    """Bits [band*width, (band+1)*width) of the 64-bit (hi, lo) signature.
+    ``width`` must divide 32 so a chunk never straddles the halves."""
+    start = band * width
+    mask = F.lit((1 << width) - 1).cast("long")
+    src = F.shiftright(hi, start - 32) if start >= 32 else F.shiftright(lo, start)
+    return src.bitwiseAND(mask)
+
+
+def simhash_dup_pairs(
+    docs: DataFrame, id_col: str = "doc_id", hamming_k: int = SIMHASH_HAMMING_K
+) -> DataFrame:
+    """(a, b, hamming) — pairs within Hamming distance ≤ ``hamming_k``.
+
+    Pigeonhole banding: 64 bits split into (k+1) exact-match bands; any
+    pair with ≤ k differing bits agrees on ≥ 1 band, so the candidate join
+    keys on (band_idx, band_value) — recall 1.0, never all-pairs. ``k+1``
+    must divide 64 with band width ≤ 32 (k ∈ {1, 3, 7, 15}). At larger
+    corpus scale raise band width (lower k) so buckets stay selective.
+    """
+    bands = hamming_k + 1
+    assert 64 % bands == 0 and 64 // bands <= 32, "need k+1 | 64, width <= 32"
+    width = 64 // bands
     sig = simhash(docs, id_col)
+    band_rows = sig.select(
+        "doc_id",
+        "sim_hi",
+        "sim_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        _band_chunk(F.col("sim_hi"), F.col("sim_lo"), i, width).alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sim_hi", "sim_lo", "bk.band", "bk.val")
+    x, y = band_rows.alias("x"), band_rows.alias("y")
+    hamming = F.bit_count(
+        F.col("x.sim_hi").bitwiseXOR(F.col("y.sim_hi"))
+    ) + F.bit_count(F.col("x.sim_lo").bitwiseXOR(F.col("y.sim_lo")))
     return (
-        sig.alias("x")
-        .join(sig.alias("y"), "simhash")
+        x.join(y, ["band", "val"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= hamming_k)
+        .dropDuplicates(["a", "b"])
     )

@@ -108,6 +108,45 @@ def write_adjacency_table(
         ).parquet(path)
 
 
+def dense_ids(verts: DataFrame, col: str = "vertex") -> DataFrame:
+    """(vertex, dense_id) with dense_id = rank 0..N-1 in ascending ``col``
+    order — the reference's dense node universe 0..N-1
+    (/root/reference/src/ans/mod.rs:44) recovered from hashed ids.
+
+    Scale shape: window-free global ranking. Range-partition + sort (one
+    shuffle), materialize, collect the P per-partition counts (P rows, not
+    data), broadcast cumulative offsets back, and rank locally inside each
+    partition — no single-partition global window, no driver-side data.
+    Input values must be distinct (vertex ids are).
+    """
+    src = (
+        verts.select(F.col(col).alias("vertex"))
+        .repartitionByRange("vertex")
+        .sortWithinPartitions("vertex")
+        .withColumn("_pid", F.spark_partition_id())
+        # materialize so the counts action and the ranking action see the
+        # exact same (sampled) range boundaries
+        .localCheckpoint(eager=True)
+    )
+    counts = {r._pid: r.n for r in src.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    spark = verts.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset long")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy("vertex")
+    return (
+        src.join(off, "_pid")
+        .withColumn("dense_id", F.col("_offset") + F.row_number().over(w) - 1)
+        .select("vertex", F.col("dense_id").cast("long"))
+    )
+
+
 def successors(adj: DataFrame, u: int) -> DataFrame:
     """Random-access successor lookup — filter pushes down to the bucketed
     scan (SURVEY.md §3.2)."""

@@ -43,13 +43,19 @@ N_FAKE_FEATURES = 8
 
 
 def attach_payload_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Adds (payload_len, payload_md5, payload_kind) — built-ins only."""
+    """Adds (payload_len, payload_md5, payload_kind) — built-ins only.
+
+    Magic sniffing hexes only the first len(magic) bytes of the payload
+    (``substring`` works on binary); hexing the whole payload would
+    materialize a 2×-size string per row per magic — for video-sized
+    payloads that would dominate this "cheap metadata" pass.
+    """
     p = F.col(payload_col)
     kind = F.lit("unknown")
     for magic, name in MAGIC.items():
-        hexpref = magic.hex()
         kind = F.when(
-            F.startswith(F.hex(p), F.lit(hexpref.upper())), F.lit(name)
+            F.hex(F.substring(p, 1, len(magic))) == F.lit(magic.hex().upper()),
+            F.lit(name),
         ).otherwise(kind)
     return df.withColumns(
         {

@@ -105,8 +105,11 @@ def pagerank(
 
     start_iter = 0
     ranks = verts.select("vertex", F.lit(1.0 / n).alias("pr"))
+    # resume fingerprint: a snapshot from a run with different damping or a
+    # different vertex universe must be rejected, not silently continued
+    ckpt_params = {"damping": damping, "n": n}
     if checkpoint_manager is not None:
-        resumed = checkpoint_manager.latest_snapshot(job_id)
+        resumed = checkpoint_manager.latest_snapshot(job_id, params=ckpt_params)
         if resumed is not None:
             start_iter, ranks = resumed
     ranks = ranks.repartition("vertex").localCheckpoint(eager=True)
@@ -152,7 +155,9 @@ def pagerank(
         wall_ms = int((time.time() - t0) * 1000)
         history.append({"iteration": it, "l1_delta": l1, "wall_ms": wall_ms})
         if checkpoint_manager is not None:
-            checkpoint_manager.commit(job_id, it, ranks, {"l1_delta": l1, "wall_ms": wall_ms})
+            checkpoint_manager.commit(
+                job_id, it, ranks, {"l1_delta": l1, "wall_ms": wall_ms}, params=ckpt_params
+            )
         if tol is not None and l1 <= tol:
             break
     loop_sec = time.time() - t_loop

@@ -5,11 +5,20 @@
   ``F.aggregate`` fold in float64, so the result is deterministic and
   mirrors the DuckDB oracle bit-for-bit (both engines fold sequentially;
   final values rounded to 6dp for cross-engine hashing).
-* ``cosine_neardup_pairs`` — all pairs above a cosine threshold (the
-  embedding near-duplicate detector). Quadratic; intended for per-bucket
-  use after LSH partitioning at scale.
-* ``lsh_topk``      — the scale path: random-hyperplane LSH. Hyperplane h's
-  side bit = sign of dot(v, p_h) where p_h components are deterministic
+* ``cosine_neardup_pairs`` — all pairs above a cosine threshold by direct
+  comparison. QUADRATIC — small-N / per-bucket building block only; the
+  production near-dup detector is ``cosine_neardup_pairs_lsh``.
+* ``cosine_neardup_pairs_lsh`` — the scale path: banded random-hyperplane
+  LSH (OR-amplification). ``bands`` independent signatures of
+  ``planes_per_band`` hyperplane sign bits each; candidates = pairs
+  sharing any band's full bucket, then the exact cosine filter. With
+  r=8, b=6 (defaults): recall ≈ 0.99 at cos 0.97, ≈ 0.95 at cos 0.95,
+  while unrelated pairs (cos ≈ 0) collide on a band with p ≈ 0.5^8 so
+  only ~2% survive to the exact check — never an all-pairs join. At
+  larger corpus scale raise planes_per_band (bucket count grows 2^r)
+  and bands together to hold recall while keeping buckets selective.
+* ``lsh_topk``      — random-hyperplane ANN top-k. Hyperplane h's side
+  bit = sign of dot(v, p_h) where p_h components are deterministic
   ±1 from md5(h, dim) — reproducible with no stored model. Candidates come
   from the same-bucket join only, so cost is O(n·k + bucket²) instead of
   O(n²). Exactness is traded for recall (property-tested against the
@@ -26,6 +35,22 @@ from pyspark.sql import functions as F
 from ..functions.hashing import h64
 
 LSH_PLANES = 8
+NEARDUP_THRESHOLD = 0.95
+NEARDUP_BANDS = 6
+NEARDUP_PLANES_PER_BAND = 8
+# near-dup-enriched fixture parameters (deterministic, oracle-reproducible)
+NEARDUP_DUP_MOD = 10
+NEARDUP_DUP_OFFSET = 1_000_000
+NEARDUP_DUP_DELTA = 0.25
+
+
+def embedding_dim(embeddings: DataFrame, vec_col: str = "embedding") -> int:
+    """Actual embedding length from the data — callers must not guess the
+    dim: a wrong dim makes zip_with null-pad and every dot() null."""
+    row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if row is None:
+        return 0
+    return row.d
 
 
 def _as_double(col) -> Column:
@@ -95,10 +120,99 @@ def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
 
 def lsh_bucket(vec_col, dim: int, n_planes: int = LSH_PLANES, seed: int = 42) -> Column:
     """Bucket id in [0, 2^n_planes) from hyperplane sign bits."""
+    return _bucket_from_planes(vec_col, dim, range(n_planes), seed)
+
+
+def neardup_enriched_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dup_mod: int = NEARDUP_DUP_MOD,
+    dup_offset: int = NEARDUP_DUP_OFFSET,
+    delta: float = NEARDUP_DUP_DELTA,
+) -> DataFrame:
+    """(vec_id, embedding double[]) with a deterministic perturbed copy of
+    every ``dup_mod``-th vector appended (copy id = id + dup_offset; first
+    coordinate shifted by ``delta`` → cos ≈ 0.97 against unit vectors).
+
+    The testdata embeddings are near-random (no pair above cos 0.5), so
+    this derived fixture gives the near-dup detector true positives that
+    the DuckDB oracle can regenerate exactly — the same discipline as the
+    derived graph tables (plans/derived_graph.py).
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("embedding")
+    )
+    dups = emb.where(F.col("vec_id") % dup_mod == 0).select(
+        (F.col("vec_id") + dup_offset).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(delta)),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    return emb.unionAll(dups)
+
+
+def cosine_neardup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    bands: int = NEARDUP_BANDS,
+    planes_per_band: int = NEARDUP_PLANES_PER_BAND,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(a, b, cos) with a < b and cos >= threshold, candidates restricted to
+    pairs sharing at least one LSH band bucket (OR-amplified banding, the
+    MinHash-LSH shape applied to hyperplane signatures).
+
+    Plan: bucket assignment is a narrow projection (bands·r dot products
+    per row); per band a self-equi-join on (band, bucket); candidate pair
+    dedup; then two V-sized joins fetch the vectors for the exact cosine.
+    No stage is ever keyed on fewer than bands·2^r values.
+    """
+    if dim is None:
+        dim = embedding_dim(embeddings, vec_col)
+    emb = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    band_structs = [
+        F.struct(
+            F.lit(t).alias("band"),
+            # band t uses plane indices t*r .. t*r+r-1 — independent bands
+            _bucket_from_planes(
+                F.col("v"), dim, range(t * planes_per_band, (t + 1) * planes_per_band), seed
+            ).alias("bucket"),
+        )
+        for t in range(bands)
+    ]
+    bk = emb.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "id", "bk.band", "bk.bucket"
+    )
+    cand = (
+        bk.alias("x")
+        .join(bk.alias("y"), ["band", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    va = emb.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    vb = emb.select(F.col("id").alias("b"), F.col("v").alias("vb_"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb_")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def _bucket_from_planes(vec_col, dim: int, plane_indices, seed: int = 42) -> Column:
+    """Bucket id from the sign bits of the given hyperplane indices."""
     bucket = F.lit(0)
-    for p in range(n_planes):
+    for i, p in enumerate(plane_indices):
         plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p, seed)])
-        bit = F.when(dot(vec_col, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bit = F.when(dot(vec_col, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket
 
@@ -107,12 +221,14 @@ def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = LSH_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    if dim is None:
+        dim = embedding_dim(embeddings, vec_col)
     emb = embeddings.select(
         F.col(id_col).alias("vb"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("bucket", lsh_bucket(F.col("v"), dim, n_planes))

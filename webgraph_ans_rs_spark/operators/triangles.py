@@ -1,15 +1,19 @@
 """Triangle counting via degree-ordered orientation + two joins.
 
 Semantics: triangles of the *undirected* graph (edges symmetrized, then
-oriented a<b). The join plan e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a<b<c counts each
-triangle exactly once.
+acyclically oriented). Any acyclic orientation gives each triangle exactly
+one a→b, b→c, a→c pattern, so the join plan e1 ⋈ e2 ⋈ e3 counts each
+triangle exactly once regardless of which orientation is used.
 
-Scale: orientation by id bounds each vertex's forward-neighbor list; for
-power-law web graphs the standard improvement is orienting by (degree, id)
-so hubs keep only higher-degree forward neighbors — ``orient_by_degree``
-implements that, bounding the first join's fan-out by O(E^1.5) total
-(SURVEY.md §7 hard part (e)). Both orientations count the same triangles;
-id-orientation is the oracle-comparable default (pure SQL).
+Scale: the DEFAULT orientation is by (degree, id) — ``orient_by_degree`` —
+so hubs keep only their higher-degree forward neighbors, bounding the
+first join's per-key fan-out and total work by O(E^1.5) on any graph
+(SURVEY.md §7 hard part (e)). On a power-law web graph at 100×, a hub with
+1e7 smaller-id forward neighbors would make the id-oriented first join
+explode; the degree orientation gives that hub ~0 forward edges instead.
+Id-orientation (``oriented_edges``) is kept as the pure-SQL
+oracle-comparable form; both count the same triangles (asserted in
+tests/test_components_labels_triangles.py on a hub-skewed fixture).
 """
 
 from __future__ import annotations
@@ -45,9 +49,15 @@ def orient_by_degree(edges: DataFrame) -> DataFrame:
     return e.select(fwd.alias("e")).select("e.a", "e.b")
 
 
-def triangle_list(edges: DataFrame) -> DataFrame:
-    """(a, b, c) with a<b<c — every triangle once."""
-    e = oriented_edges(edges)
+def triangle_list(edges: DataFrame, orientation: str = "degree") -> DataFrame:
+    """(a, b, c) — every triangle of the undirected graph exactly once.
+
+    ``orientation="degree"`` (default): hub-safe (degree, id) orientation,
+    O(E^1.5) join work. ``orientation="id"``: a<b<c ordering, the
+    oracle-comparable pure-SQL form. Both enumerate the same triangles
+    (vertex sets are equal; the (a, b, c) naming differs per orientation).
+    """
+    e = orient_by_degree(edges) if orientation == "degree" else oriented_edges(edges)
     e1 = e.alias("e1")
     e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
     e3 = e.select(F.col("a").alias("a"), F.col("b").alias("c")).alias("e3")

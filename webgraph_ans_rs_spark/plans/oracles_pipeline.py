@@ -7,7 +7,14 @@ operators/textstats.py, operators/dedup.py, operators/similarity.py.
 
 from __future__ import annotations
 
-from ..operators.dedup import MAX_SHINGLE_DF, MINHASH_BANDS, MINHASH_K, NGRAM, SIMHASH_BITS
+from ..operators.dedup import (
+    MAX_SHINGLE_DF,
+    MINHASH_BANDS,
+    MINHASH_K,
+    NGRAM,
+    SIMHASH_BITS,
+    SIMHASH_HAMMING_K,
+)
 from ..operators.textstats import LANG_MARKERS, STOPWORDS, WORD_RE
 
 
@@ -117,39 +124,76 @@ def minhash_lsh_sql(k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> str:
     )
 
 
-def simhash_sql(bits: int = SIMHASH_BITS) -> str:
+def _simhash_ctes(bits: int = SIMHASH_BITS) -> str:
+    """CTE chain ending in sig(doc_id, sim_hi, sim_lo) — mirrors
+    operators/dedup.py simhash (64-bit, two 32-bit halves)."""
     sums = []
     for b in range(bits):
         nib = f"(strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1)"
         bit = f"(({nib} >> {b % 4}) & 1)"
         sums.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{b}")
-    sig = " + ".join(
-        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-        for b in range(bits)
-    )
+
+    def half(lo_bit: int) -> str:
+        return " + ".join(
+            f"CASE WHEN s{lo_bit + i} > 0 THEN CAST({1 << i} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
+            for i in range(32)
+        )
+
     return (
-        "WITH toks AS (SELECT DISTINCT doc_id, tok FROM ("
+        "toks AS (SELECT DISTINCT doc_id, tok FROM ("
         "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)"
         " WHERE tok <> ''),\n"
         "h AS (SELECT doc_id, md5(tok) AS h FROM toks),\n"
-        f"s AS (SELECT doc_id, {', '.join(sums)} FROM h GROUP BY doc_id)\n"
-        f"SELECT doc_id, {sig} AS simhash FROM s"
+        f"s AS (SELECT doc_id, {', '.join(sums)} FROM h GROUP BY doc_id),\n"
+        f"sig AS (SELECT doc_id, {half(32)} AS sim_hi, {half(0)} AS sim_lo FROM s)"
     )
 
 
-def simhash_pairs_sql(bits: int = SIMHASH_BITS) -> str:
+def simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    return f"WITH {_simhash_ctes(bits)}\nSELECT doc_id, sim_hi, sim_lo FROM sig"
+
+
+def simhash_pairs_sql(hamming_k: int = SIMHASH_HAMMING_K, bits: int = SIMHASH_BITS) -> str:
+    """Banded Hamming-≤k near-dup pairs — mirrors simhash_dup_pairs: (k+1)
+    exact-match bands for candidates, then the exact bit_count(xor) filter."""
+    bands = hamming_k + 1
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_selects = []
+    for i in range(bands):
+        start = i * width
+        src = f"(sim_hi >> {start - 32})" if start >= 32 else f"(sim_lo >> {start})"
+        band_selects.append(
+            f"SELECT doc_id, sim_hi, sim_lo, {i} AS band, {src} & {mask} AS val FROM sig"
+        )
     return (
-        f"WITH sig AS ({simhash_sql(bits)})\n"
-        f"SELECT x.doc_id AS a, y.doc_id AS b FROM sig x"
-        f" JOIN sig y ON x.simhash = y.simhash AND x.doc_id < y.doc_id"
+        f"WITH {_simhash_ctes(bits)},\n"
+        f"bk AS ({' UNION ALL '.join(band_selects)})\n"
+        "SELECT DISTINCT a, b, hamming FROM ("
+        "SELECT x.doc_id AS a, y.doc_id AS b,"
+        " CAST(bit_count(xor(x.sim_hi, y.sim_hi)) AS BIGINT)"
+        " + CAST(bit_count(xor(x.sim_lo, y.sim_lo)) AS BIGINT) AS hamming"
+        " FROM bk x JOIN bk y ON x.band = y.band AND x.val = y.val"
+        " AND x.doc_id < y.doc_id)"
+        f" WHERE hamming <= {hamming_k}"
     )
 
 
 def multimodal_meta_sql() -> str:
-    """payload = utf8 bytes of text; strlen() is byte length in DuckDB."""
+    """payload = utf8 bytes of text; strlen() is byte length in DuckDB.
+
+    payload_kind mirrors operators/multimodal.py MAGIC for the ASCII
+    magics ('GIF8' → gif, 'RIFF' → riff); the remaining magics start with
+    bytes that are invalid as the first byte of UTF-8 text, so they can
+    never match a valid-UTF8 ``text`` column and 'unknown' is exact.
+    """
     return (
         "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS payload_len,"
-        " md5(text) AS payload_md5, 'unknown' AS payload_kind FROM documents"
+        " md5(text) AS payload_md5,"
+        " CASE WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'"
+        " WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'"
+        " ELSE 'unknown' END AS payload_kind FROM documents"
     )
 
 
@@ -228,11 +272,65 @@ def events_hourly_sql() -> str:
 
 
 def cosine_neardup_sql(threshold: float = 0.95) -> str:
+    """All-pairs form — small-N cross-check oracle for the quadratic
+    building block (kept for pytest; not a driver-gate query)."""
     return (
         f"WITH {_emb_cte()}\n"
         "SELECT a, b, cos FROM ("
         "SELECT x.vec_id AS a, y.vec_id AS b,"
         f" ROUND({_cos('x.v', 'y.v')}, 6) AS cos"
         " FROM e x JOIN e y ON x.vec_id < y.vec_id)"
+        f" WHERE cos >= {threshold}"
+    )
+
+
+def _enriched_emb_cte(dup_mod: int, dup_offset: int, delta: float) -> str:
+    """Near-dup-enriched embedding set — mirrors
+    operators/similarity.py neardup_enriched_embeddings."""
+    return (
+        "e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+        "e AS (SELECT vec_id AS id, v FROM e0 UNION ALL"
+        f" SELECT vec_id + {dup_offset} AS id,"
+        f" list_concat([v[1] + CAST({delta!r} AS DOUBLE)], v[2:]) AS v"
+        f" FROM e0 WHERE vec_id % {dup_mod} = 0)"
+    )
+
+
+def cosine_neardup_lsh_sql(
+    threshold: float,
+    bands: int,
+    planes_per_band: int,
+    dim: int,
+    dup_mod: int,
+    dup_offset: int,
+    delta: float,
+    seed: int = 42,
+) -> str:
+    """Banded-LSH near-dup over the enriched set — mirrors
+    cosine_neardup_pairs_lsh: same deterministic ±1 hyperplanes (inlined as
+    literals), same band/bucket keys, same exact-cosine filter."""
+    from ..operators.similarity import _hyperplane
+
+    band_selects = []
+    for t in range(bands):
+        terms = []
+        for i in range(planes_per_band):
+            plane = _hyperplane(dim, t * planes_per_band + i, seed)
+            lit = "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in plane) + "]"
+            terms.append(
+                f"CASE WHEN list_inner_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END"
+            )
+        band_selects.append(
+            f"SELECT id, {t} AS band, {' + '.join(terms)} AS bucket FROM e"
+        )
+    return (
+        f"WITH {_enriched_emb_cte(dup_mod, dup_offset, delta)},\n"
+        f"bk AS ({' UNION ALL '.join(band_selects)}),\n"
+        "cand AS (SELECT DISTINCT x.id AS a, y.id AS b FROM bk x"
+        " JOIN bk y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id)\n"
+        "SELECT a, b, cos FROM ("
+        "SELECT a, b,"
+        f" ROUND({_cos('ea.v', 'eb.v')}, 6) AS cos"
+        " FROM cand JOIN e ea ON ea.id = a JOIN e eb ON eb.id = b)"
         f" WHERE cos >= {threshold}"
     )

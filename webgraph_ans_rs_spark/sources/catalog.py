@@ -30,11 +30,22 @@ class VersionedTable:
 
     # -- write -------------------------------------------------------------
     def commit(self, df: DataFrame, properties: dict | None = None) -> int:
-        """Write a new immutable snapshot; returns its id."""
+        """Write a new immutable snapshot; returns its id.
+
+        Crash-safety: data lands in a unique temp dir and is renamed to its
+        snap-NNNNNN home just before the manifest commit, and ``_next_id``
+        counts orphaned snap dirs (data renamed, manifest never written) as
+        taken — a crash can orphan at most one uuid-temp or snap dir, never
+        wedge future commits by id reuse.
+        """
+        import uuid
+
+        tmp_data = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}")
+        df.write.mode("errorifexists").parquet(tmp_data)
+        rows = self.spark.read.parquet(tmp_data).count()
         sid = self._next_id()
         data_dir = os.path.join(self.dir, f"snap-{sid:06d}")
-        df.write.mode("errorifexists").parquet(data_dir)
-        rows = self.spark.read.parquet(data_dir).count()
+        os.rename(tmp_data, data_dir)
         manifest = {
             "snapshot_id": sid,
             "data_dir": data_dir,
@@ -68,5 +79,13 @@ class VersionedTable:
         return self.spark.read.parquet(self.manifest(snapshot_id)["data_dir"])
 
     def _next_id(self) -> int:
-        snaps = self.snapshots()
-        return (snaps[-1] + 1) if snaps else 1
+        """One past the max id seen in EITHER manifests or snap-* data dirs
+        (orphaned data dirs from a crashed commit must not be reused)."""
+        taken = set(self.snapshots())
+        for name in os.listdir(self.dir):
+            if name.startswith("snap-"):
+                try:
+                    taken.add(int(name[len("snap-") :]))
+                except ValueError:
+                    continue
+        return (max(taken) + 1) if taken else 1
