@@ -101,6 +101,62 @@ def main() -> int:
     # 7. no Python UDFs in pure-relational plans
     check("jvm-only: degree plan has no BatchEvalPython", "BatchEvalPython" not in plan_of(deg))
 
+    # 8. REAL bucket pruning on the WRITTEN adjacency table: a point lookup
+    # must select 1 bucket out of N (not just carry a Filter node)
+    import shutil
+    import tempfile
+
+    from webgraph_ans_rs_spark.operators.graph_build import (
+        successors,
+        write_adjacency_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="planaudit-adj-")
+    try:
+        write_adjacency_table(spark, edges, f"{tmp}/adj", num_buckets=8, table_name="plan_audit_adj")
+        adj_t = spark.table("plan_audit_adj")
+        some_src = adj_t.select("src").first().src
+        look = successors(adj_t, some_src)
+        look.collect()
+        p = plan_of(look)
+        check(
+            "bucket-pruning: successors(u) on written table reads 1/8 buckets",
+            "SelectedBucketsCount: 1 out of 8" in p,
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS plan_audit_adj")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # 9. pagerank superstep plans exactly ONE exchange (the E-sized gather):
+    # the scatter join must be exchange- and sort-free (co-partitioned csr +
+    # preserved rank partitioning + shuffle_hash). AQE disabled so the
+    # static plan tree is walkable; cached build plans are not children of
+    # InMemoryTableScan, so the walk counts only per-superstep exchanges.
+    from webgraph_ans_rs_spark.operators.pagerank import superstep_probe
+
+    def count_nodes(jplan, name: str) -> int:
+        total = 1 if name in jplan.nodeName() else 0
+        kids = jplan.children()
+        for i in range(kids.length()):
+            total += count_nodes(kids.apply(i), name)
+        return total
+
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        step2 = superstep_probe(edges, vertices(docs))
+        jplan = step2._jdf.queryExecution().executedPlan()
+        n_exchange = count_nodes(jplan, "Exchange")
+        n_sort = count_nodes(jplan, "Sort")
+        n_shj = count_nodes(jplan, "ShuffledHashJoin")
+        check(
+            "pagerank-superstep: exactly 1 exchange, 0 sorts, shuffle-hash join",
+            n_exchange == 1 and n_sort == 0 and n_shj == 1,
+            f"(exchanges={n_exchange} sorts={n_sort} shj={n_shj})",
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
     failed = [c for c in checks if not c[1]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan properties hold")
     return 1 if failed else 0

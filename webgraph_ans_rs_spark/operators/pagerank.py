@@ -32,10 +32,15 @@ commits via CheckpointManager for resumable runs) — the analogue of the
 reference's per-node ANSCompressorPhase resume points
 (/root/reference/src/ans/mod.rs:62-68, bvgraph_encoder.rs:167-171).
 
-Scale notes (100 TB / 1e12 docs): shuffles per superstep are the join on
-src (co-partitioned: weighted edges are hash-partitioned by src once, ranks
-by vertex every apply) and the gather on dst. Rank state is O(V); edges are
-loop-invariant and bucketed/cached once, amortized across supersteps.
+Scale notes (100 TB / 1e12 docs): exactly ONE shuffle per superstep — the
+E-sized gather on dst. The scatter join is exchange- and sort-free: csr and
+ranks share one partition count P, AQE partition coalescing is suspended
+inside the loop so the gather emits HashPartitioning(vertex, P) that
+localCheckpoint preserves into the next superstep, and a shuffle_hash hint
+builds the V-sized rank map instead of sorting both sides
+(tools/plan_audit.py check 9 asserts the single-exchange property).
+Rank state is O(V); edges are loop-invariant and cached once, amortized
+across supersteps.
 """
 
 from __future__ import annotations
@@ -59,6 +64,56 @@ class PageRankResult:
     loop_sec: float = 0.0  # superstep loop wall time (the throughput metric)
 
 
+def _superstep_frame(csr, ranks, zeros, base: float, damping: float) -> DataFrame:
+    """One superstep: scatter (exchange-free shuffle-hash join + narrow
+    explode), gather (the ONE per-superstep shuffle), apply (projection)."""
+    scattered = csr.join(
+        ranks.hint("shuffle_hash"), csr["src"] == ranks["vertex"]
+    ).select(F.explode("dsts").alias("vertex"), (F.col("pr") * F.col("w")).alias("c"))
+    return (
+        scattered.unionAll(zeros)
+        .groupBy("vertex")
+        .agg(F.sum("c").alias("gathered"))
+        .select(
+            "vertex",
+            (F.lit(base) + F.lit(damping) * F.col("gathered")).alias("pr"),
+        )
+    )
+
+
+def superstep_probe(
+    edges: DataFrame,
+    verts: DataFrame,
+    damping: float = 0.85,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Build the exact superstep-2 DataFrame (un-executed) on the production
+    code path, for physical-plan audits: superstep 1 is executed and
+    checkpointed exactly as the loop does, so the returned frame's rank
+    side is a LogicalRDD with the loop's preserved partitioning."""
+    spark = edges.sparkSession
+    n = verts.count()
+    p = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    csr = (
+        edges.groupBy("src")
+        .agg(F.collect_list("dst").alias("dsts"), F.count("*").alias("od"))
+        .select("src", "dsts", (F.lit(1.0) / F.col("od")).alias("w"))
+        .repartition(p, "src")
+        .persist()
+    )
+    csr.count()
+    zeros = verts.select("vertex", F.lit(0.0).alias("c")).persist()
+    zeros.count()
+    ranks = (
+        verts.select("vertex", F.lit(1.0 / n).alias("pr"))
+        .repartition(p, "vertex")
+        .localCheckpoint(eager=True)
+    )
+    base = (1.0 - damping) / n
+    ranks = _superstep_frame(csr, ranks, zeros, base, damping).localCheckpoint(eager=True)
+    return _superstep_frame(csr, ranks, zeros, base, damping)
+
+
 def pagerank(
     edges: DataFrame,
     verts: DataFrame,
@@ -68,6 +123,7 @@ def pagerank(
     checkpoint_manager=None,
     job_id: str = "pagerank",
     truncate_every: int = 3,
+    shuffle_partitions: int | None = None,
 ) -> PageRankResult:
     """Exact power iteration. ``tol`` is the L1-delta convergence threshold;
     pass ``tol=None`` to run exactly ``max_iter`` supersteps (the
@@ -76,22 +132,36 @@ def pagerank(
     ``truncate_every`` controls lineage truncation cadence: localCheckpoint
     is a materialization barrier, so doing it every superstep doubles
     fixed costs; every k-th superstep bounds plan depth at k joins while
-    amortizing the barrier."""
+    amortizing the barrier.
+
+    ``shuffle_partitions`` (e.g. LayoutPlan.shuffle_partitions from the
+    stats pass) sets the single partition count P used for BOTH the cached
+    CSR and the rank state, which is what makes the scatter join
+    exchange-free (see below); defaults to the session shuffle setting.
+    """
     t_setup = time.time()
+    spark = edges.sparkSession
     n = verts.count()
     deg = outdegrees(edges, verts)
+    p = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    # Loop-invariant CSR: per-src successor array + weight 1/outdeg,
-    # hash-partitioned by src. The per-superstep scatter join is then
-    # V-sized (one row per source vertex), and the E-sized fan-out happens
-    # in a narrow explode after the join — the join that must scale is 4×
-    # smaller than a per-edge join (measured: 0.68 vs 0.45 scaling
-    # efficiency on local[4]→local[16]).
+    # Co-partitioning contract: csr is hash-partitioned on src with exactly
+    # P partitions and cached; ranks are hash-partitioned on vertex with the
+    # same P (the gather's groupBy(vertex) emits HashPartitioning(vertex, P)
+    # once AQE partition coalescing is off, and localCheckpoint preserves
+    # it). Both sides of the scatter join then satisfy the join's required
+    # distribution, and the shuffle_hash hint (build = V-sized ranks)
+    # removes the SortMergeJoin sorts — so a superstep plans exactly ONE
+    # exchange: the E-sized gather (verified: tools/plan_audit.py check 9).
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    coalesce_prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+
     csr = (
         edges.groupBy("src")
         .agg(F.collect_list("dst").alias("dsts"), F.count("*").alias("od"))
         .select("src", "dsts", (F.lit(1.0) / F.col("od")).alias("w"))
-        .repartition("src")
+        .repartition(p, "src")
         .persist()
     )
     csr.count()
@@ -112,7 +182,7 @@ def pagerank(
         resumed = checkpoint_manager.latest_snapshot(job_id, params=ckpt_params)
         if resumed is not None:
             start_iter, ranks = resumed
-    ranks = ranks.repartition("vertex").localCheckpoint(eager=True)
+    ranks = ranks.repartition(p, "vertex").localCheckpoint(eager=True)
     setup_sec = time.time() - t_setup
     t_loop = time.time()
 
@@ -128,20 +198,8 @@ def pagerank(
             if has_dangling
             else 0.0
         )
-        scattered = (
-            csr.join(ranks, csr["src"] == ranks["vertex"])
-            .select(F.explode("dsts").alias("vertex"), (F.col("pr") * F.col("w")).alias("c"))
-        )
         base = (1.0 - damping) / n + damping * dangling / n
-        new_ranks = (
-            scattered.unionAll(zeros)
-            .groupBy("vertex")
-            .agg(F.sum("c").alias("gathered"))
-            .select(
-                "vertex",
-                (F.lit(base) + F.lit(damping) * F.col("gathered")).alias("pr"),
-            )
-        )
+        new_ranks = _superstep_frame(csr, ranks, zeros, base, damping)
         last = it == max_iter
         if last or it % truncate_every == 0 or tol is not None or checkpoint_manager:
             new_ranks = new_ranks.localCheckpoint(eager=True)
@@ -161,6 +219,7 @@ def pagerank(
         if tol is not None and l1 <= tol:
             break
     loop_sec = time.time() - t_loop
+    spark.conf.set(coalesce_key, coalesce_prev)
     csr.unpersist()
     zeros.unpersist()
     dangling_verts.unpersist()

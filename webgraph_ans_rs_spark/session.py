@@ -48,6 +48,12 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "4m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep bucketed scans honored even when no join/agg consumes the
+        # distribution: the planner's auto-disable also forfeits bucket
+        # PRUNING, which is the whole point of the bucketed adjacency table
+        # (successors(u) point lookups read 1 bucket, the EF-pointer-index
+        # analogue — plan_audit check 8 asserts SelectedBucketsCount)
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
