@@ -79,6 +79,43 @@ def main() -> None:
     # pagerank throughput on the big synthetic graph
     edges = synthetic_edges(spark, BENCH_VERTICES).persist()
     n_edges = edges.count()
+
+    # random access: write the bucketed adjacency table of the big synthetic
+    # graph, then enumerate successors of 10k pseudo-random nodes through
+    # bucket-pruned point lookups — the reference's headline random-access
+    # protocol shape (examples/bench_random_access.rs:15,28-41, 10M random
+    # nodes at 22-58 ns/arc single-threaded Rust mmap; a Spark batch lookup
+    # amortizes job overhead across the batch, reported in the same ns/arc
+    # accounting).
+    import tempfile as _tf
+
+    from webgraph_ans_rs_spark.operators.graph_build import (
+        successors_batch,
+        write_adjacency_table,
+    )
+
+    with _tf.TemporaryDirectory() as tmp:
+        write_adjacency_table(
+            spark, edges, f"{tmp}/adj", num_buckets=16, table_name="bench_adj"
+        )
+        adj_t = spark.table("bench_adj")
+        # deterministic "random" probe set: multiplicative-hash node ids
+        probes = (
+            spark.range(0, 10000)
+            .select(((F.col("id") * 2654435761) % F.lit(BENCH_VERTICES)).alias("vertex"))
+            .distinct()
+        )
+        t0 = time.time()
+        hit = successors_batch(adj_t, probes)
+        n_arcs_enum = hit.agg(F.coalesce(F.sum(F.size("dsts")), F.lit(0))).first()[0]
+        ra_sec = time.time() - t0
+        queries["random_access_10k"] = round(ra_sec, 3)
+        spark.sql("DROP TABLE IF EXISTS bench_adj")
+
+        # storage accounting on the same graph (reference: bit/link)
+        from webgraph_ans_rs_spark.plans.storage import adjacency_storage_metrics
+
+        storage = adjacency_storage_metrics(spark, edges, f"{tmp}/storage")
     verts = (
         spark.range(0, BENCH_VERTICES)
         .select(F.col("id").alias("vertex"))
@@ -110,6 +147,10 @@ def main() -> None:
                 "pagerank_edges_per_sec": round(edges_per_sec),
                 "pipeline_pages": BENCH_PAGES,
                 "pipeline_edges": n_pipeline_edges,
+                "random_access_nodes": 10000,
+                "random_access_arcs": int(n_arcs_enum),
+                "random_access_ns_per_arc": round(1e9 * ra_sec / max(1, n_arcs_enum)),
+                "storage": storage,
             }
         )
     )

@@ -58,11 +58,19 @@ def main() -> None:
         "overwrite"
     ).parquet(args.out)
 
+    # storage accounting — the reference's headline metric is bit/link
+    # (README.md:99-150); ours is bytes/edge of the written table
+    from webgraph_ans_rs_spark.plans.storage import dir_bytes
+
+    table_bytes = dir_bytes(spark, args.out)
     meta = {
         "num_arcs": n_edges,
         "num_nodes": adj.count(),
         "buckets": buckets,
         "max_outdeg": adj.agg(F.max("outdeg")).first()[0],
+        "table_bytes": table_bytes,
+        "bytes_per_edge": round(table_bytes / n_edges, 3),
+        "bits_per_link": round(8.0 * table_bytes / n_edges, 3),
     }
     (Path(args.out) / "_meta.json").write_text(json.dumps(meta))
     print(json.dumps(meta))

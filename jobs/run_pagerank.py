@@ -30,6 +30,11 @@ def main() -> None:
     ap.add_argument("--checkpoint", help="checkpoint root for resumable runs")
     ap.add_argument("--max-iter", type=int, default=50)
     ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument(
+        "--no-layout",
+        action="store_true",
+        help="skip the stats pass; use session defaults (no segmentation)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("run-pagerank")
@@ -44,11 +49,32 @@ def main() -> None:
         .distinct()
     )
     cm = CheckpointManager(spark, args.checkpoint) if args.checkpoint else None
+
+    # stats pass → physical layout parameters (the reference's two-pass
+    # stats-then-encode shape, model4encoder_builder.rs:80-271): shuffle
+    # partition count from edge volume, CSR segmentation if hub sources
+    layout_kw: dict = {}
+    layout_info = None
+    if not args.no_layout:
+        from webgraph_ans_rs_spark.plans.layout import choose_layout, degree_stats
+
+        cores = spark.sparkContext.defaultParallelism
+        plan = choose_layout(degree_stats(edges), total_cores=cores)
+        layout_kw = {
+            "shuffle_partitions": plan.shuffle_partitions,
+            "max_segment": plan.csr_max_segment,
+        }
+        layout_info = {
+            "shuffle_partitions": plan.shuffle_partitions,
+            "csr_max_segment": plan.csr_max_segment,
+            "max_degree": plan.max_degree,
+            "salt_factor": plan.salt_factor,
+        }
     res = pagerank(edges, verts, max_iter=args.max_iter, tol=args.tol,
-                   checkpoint_manager=cm)
+                   checkpoint_manager=cm, **layout_kw)
     res.ranks.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"iterations": res.iterations, "l1_delta": res.l1_delta,
-                      "history": res.history}))
+                      "layout": layout_info, "history": res.history}))
 
 
 if __name__ == "__main__":

@@ -47,3 +47,67 @@ def test_salted_count_matches(spark):
     plain = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
     salted = {r.k: r["count"] for r in salted_count(df, "k").collect()}
     assert salted == plain
+
+
+def test_csr_segments_partition_hub_lists(spark):
+    """Segmented CSR must cover exactly the same edges as the plain CSR,
+    keep total outdeg on every segment row, and split hubs."""
+    from pyspark.sql import functions as F
+
+    from webgraph_ans_rs_spark.operators.graph_build import (
+        build_csr_adjacency,
+        build_csr_segments,
+    )
+
+    # hub 0 with 500 successors + a background of small vertices
+    es = [(0, i) for i in range(1, 501)] + [(i, (i * 13) % 600) for i in range(1, 300)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in es if a != b], "src long, dst long"
+    ).dropDuplicates(["src", "dst"])
+    seg = build_csr_segments(edges, max_segment=64)
+    plain = build_csr_adjacency(edges)
+    # same edge multiset per src after flattening
+    flat = seg.select("src", F.explode("dsts").alias("dst"))
+    assert flat.exceptAll(edges).count() == 0 and edges.exceptAll(flat).count() == 0
+    # outdeg on every segment row equals the true total
+    want_deg = {r.src: r.outdeg for r in plain.collect()}
+    for r in seg.collect():
+        assert r.outdeg == want_deg[r.src]
+        assert len(r.dsts) <= 4 * 64  # hash-balanced, bounded well below total
+    n_hub_rows = seg.where(F.col("src") == 0).count()
+    assert n_hub_rows >= 500 // 64  # hub really is split
+
+
+def test_pagerank_segmented_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from webgraph_ans_rs_spark.operators.pagerank import pagerank
+
+    es = [(0, i) for i in range(1, 400)] + [(i, (i * 7) % 450) for i in range(1, 450)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in es if a != b], "src long, dst long"
+    ).dropDuplicates(["src", "dst"])
+    verts = spark.range(0, 460).select(F.col("id").alias("vertex"))
+    plain = pagerank(edges, verts, max_iter=5, tol=None)
+    seg = pagerank(edges, verts, max_iter=5, tol=None, max_segment=32)
+    a = {r.vertex: r.pr for r in plain.ranks.collect()}
+    b = {r.vertex: r.pr for r in seg.ranks.collect()}
+    assert max(abs(a[v] - b[v]) for v in a) < 1e-12  # float order differs only
+
+
+def test_choose_layout_sets_segment_for_hub_sources(spark):
+    from pyspark.sql import functions as F
+
+    from webgraph_ans_rs_spark.plans.layout import choose_layout, degree_stats
+
+    hub = spark.range(0, 20000).select(
+        F.lit(7).alias("src"), F.col("id").alias("dst")
+    )
+    rest = spark.range(0, 30000).select(
+        (F.col("id") % 9000).alias("src"), ((F.col("id") * 31) % 9000).alias("dst")
+    )
+    stats = degree_stats(hub.union(rest))
+    plan = choose_layout(stats, total_cores=8)
+    assert stats["max_outdeg"] >= 20000
+    assert plan.csr_max_segment is not None
+    assert plan.csr_max_segment <= stats["max_outdeg"]

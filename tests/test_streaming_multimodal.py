@@ -126,3 +126,69 @@ def test_frame_sample_shape(payloads):
         assert len(idxs) <= 5
         assert idxs == sorted(idxs)
         assert all(i % 10 == 0 for i in idxs)
+
+
+def test_watermark_evicts_late_rows_append_mode(spark, tmp_path):
+    """The thing watermarks exist for: in append mode a window is emitted
+    once the watermark passes its end, and rows arriving later than the
+    watermark for an already-emitted window are DROPPED, not re-aggregated.
+    Driven through a real file-source stream across two availableNow passes
+    sharing a checkpoint (state survives the restart)."""
+    import datetime as dt
+
+    src = str(tmp_path / "late_src")
+    out_dir = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    def run_pass():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = windowed_event_counts(stream, window="1 hour", watermark="10 minutes")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # pass 1: two rows in hour-0, one in hour-1, one at 03:00 that pushes
+    # the watermark to 02:50 → hour-0 and hour-1 windows finalize + emit
+    write_batch(
+        [
+            (0, t0 + dt.timedelta(minutes=5), 1, "click", 1.0),
+            (1, t0 + dt.timedelta(minutes=15), 1, "click", 1.0),
+            (2, t0 + dt.timedelta(minutes=65), 1, "click", 1.0),
+            (3, t0 + dt.timedelta(hours=3), 1, "click", 1.0),
+        ],
+        "b1",
+    )
+    run_pass()
+    got1 = {
+        (r.window_start, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert (t0, 2) in got1 and (t0 + dt.timedelta(hours=1), 1) in got1
+
+    # pass 2: one LATE row for hour-0 (far below the 02:50 watermark) plus
+    # one at 05:00 advancing the watermark → hour-3 finalizes; the late row
+    # must be evicted, never re-emitting or changing the hour-0 window
+    write_batch(
+        [
+            (4, t0 + dt.timedelta(minutes=20), 1, "click", 1.0),  # LATE
+            (5, t0 + dt.timedelta(hours=5), 1, "click", 1.0),
+        ],
+        "b2",
+    )
+    run_pass()
+    rows = spark.read.parquet(out_dir).collect()
+    hour0 = [r for r in rows if r.window_start == t0]
+    assert [r.n_events for r in hour0] == [2]  # emitted once, late row dropped
+    assert (t0 + dt.timedelta(hours=3), 1) in {(r.window_start, r.n_events) for r in rows}

@@ -108,6 +108,39 @@ def write_adjacency_table(
         ).parquet(path)
 
 
+def build_csr_segments(edges: DataFrame, max_segment: int = 4096) -> DataFrame:
+    """(src, dsts array<long> sorted, outdeg int) with hub sources split
+    across multiple rows of ≤ ~max_segment successors each.
+
+    The skew-safe CSR: a hub with 1e7 successors would otherwise (a) build
+    one giant array row on a single reducer and (b) explode its entire
+    fan-out inside a single task every superstep. Segmenting assigns each
+    edge a deterministic segment ``pmod(xxhash64(dst), ceil(outdeg/max))``
+    BEFORE the collect, so no stage ever materializes or scans the full hub
+    list in one task. ``outdeg`` on every segment row is the vertex's TOTAL
+    outdegree (so 1/outdeg weights stay correct); segment sizes are
+    hash-balanced around max_segment.
+
+    This is the stats-pass→layout loop closed (reference: the frequency
+    pass drives encoding parameters, model4encoder_builder.rs:80-271):
+    plans/layout.py chooses max_segment from the degree histogram.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").cast("int").alias("outdeg"))
+    nseg = F.greatest(
+        F.lit(1), F.ceil(F.col("outdeg") / F.lit(max_segment)).cast("int")
+    )
+    return (
+        edges.join(deg, "src")
+        .withColumn("_seg", F.pmod(F.xxhash64("dst"), nseg))
+        .groupBy("src", "_seg")
+        .agg(
+            F.sort_array(F.collect_list("dst")).alias("dsts"),
+            F.first("outdeg").alias("outdeg"),
+        )
+        .select("src", "dsts", "outdeg")
+    )
+
+
 def dense_ids(verts: DataFrame, col: str = "vertex") -> DataFrame:
     """(vertex, dense_id) with dense_id = rank 0..N-1 in ascending ``col``
     order — the reference's dense node universe 0..N-1

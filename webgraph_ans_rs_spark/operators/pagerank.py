@@ -124,6 +124,7 @@ def pagerank(
     job_id: str = "pagerank",
     truncate_every: int = 3,
     shuffle_partitions: int | None = None,
+    max_segment: int | None = None,
 ) -> PageRankResult:
     """Exact power iteration. ``tol`` is the L1-delta convergence threshold;
     pass ``tol=None`` to run exactly ``max_iter`` supersteps (the
@@ -138,6 +139,13 @@ def pagerank(
     stats pass) sets the single partition count P used for BOTH the cached
     CSR and the rank state, which is what makes the scatter join
     exchange-free (see below); defaults to the session shuffle setting.
+
+    ``max_segment`` (e.g. LayoutPlan.csr_max_segment, set when the degree
+    histogram shows hub sources): builds the CSR with hub successor lists
+    split into ≤ ~max_segment segments so no single task ever explodes a
+    hub's entire fan-out (graph_build.build_csr_segments). Float summation
+    order changes (segments gather independently), so the fixed-iteration
+    oracle mode keeps max_segment=None; results agree to ~1e-15 per vertex.
     """
     t_setup = time.time()
     spark = edges.sparkSession
@@ -157,10 +165,18 @@ def pagerank(
     coalesce_prev = spark.conf.get(coalesce_key, "true")
     spark.conf.set(coalesce_key, "false")
 
+    if max_segment is not None:
+        from .graph_build import build_csr_segments
+
+        csr_base = build_csr_segments(edges, max_segment).withColumnRenamed(
+            "outdeg", "od"
+        )
+    else:
+        csr_base = edges.groupBy("src").agg(
+            F.collect_list("dst").alias("dsts"), F.count("*").alias("od")
+        )
     csr = (
-        edges.groupBy("src")
-        .agg(F.collect_list("dst").alias("dsts"), F.count("*").alias("od"))
-        .select("src", "dsts", (F.lit(1.0) / F.col("od")).alias("w"))
+        csr_base.select("src", "dsts", (F.lit(1.0) / F.col("od")).alias("w"))
         .repartition(p, "src")
         .persist()
     )

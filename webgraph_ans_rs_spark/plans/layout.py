@@ -32,11 +32,16 @@ class LayoutPlan:
     shuffle_partitions: int
     hot_key_threshold: int
     salt_factor: int
+    # CSR successor-list segment cap (None = no hub sources detected):
+    # feeds pagerank(max_segment=…) / build_csr_segments so no task ever
+    # explodes a hub's whole fan-out
+    csr_max_segment: int | None = None
 
 
 def degree_stats(edges: DataFrame) -> dict:
-    """One aggregation pass: edge count, distinct sources, max/share of the
-    hottest destination (in-degree drives gather skew)."""
+    """One aggregation pass per side: edge count, distinct sources, max of
+    the hottest destination (in-degree drives gather skew) and hottest
+    source (out-degree drives scatter/explode skew → CSR segmentation)."""
     agg = edges.agg(
         F.count("*").alias("num_edges"),
         F.approx_count_distinct("src").alias("num_src"),
@@ -47,11 +52,18 @@ def degree_stats(edges: DataFrame) -> dict:
         .agg(F.max("c").alias("max_indeg"), F.count("*").alias("num_dst"))
         .first()
     )
+    top_out = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("max_outdeg"))
+        .first()
+    )
     return {
         "num_edges": agg.num_edges,
         "num_src": agg.num_src,
         "num_dst": top.num_dst,
         "max_indeg": top.max_indeg,
+        "max_outdeg": top_out.max_outdeg,
     }
 
 
@@ -71,6 +83,10 @@ def choose_layout(
     salt = 1
     if max_indeg > hot_threshold:
         salt = min(64, 2 ** math.ceil(math.log2(max_indeg / hot_threshold)))
+    # hub SOURCES: cap CSR successor segments at one reducer-partition's
+    # worth so the scatter explode parallelizes across the hub's fan-out
+    max_outdeg = stats.get("max_outdeg") or 0
+    csr_max_segment = hot_threshold if max_outdeg > hot_threshold else None
     return LayoutPlan(
         num_edges=e,
         num_vertices=v,
@@ -79,4 +95,5 @@ def choose_layout(
         shuffle_partitions=shuffle,
         hot_key_threshold=hot_threshold,
         salt_factor=salt,
+        csr_max_segment=csr_max_segment,
     )
