@@ -112,10 +112,17 @@ def main() -> None:
         queries["random_access_10k"] = round(ra_sec, 3)
         spark.sql("DROP TABLE IF EXISTS bench_adj")
 
-        # storage accounting on the same graph (reference: bit/link)
+        # storage accounting (reference: bit/link) — on the graph with ids
+        # hashed the way production ingests them (vertex = xxhash64(url),
+        # input_hint): 64-bit hashed ids destroy delta-encoding locality,
+        # which is exactly what the dense-id-relabeled layout recovers
         from webgraph_ans_rs_spark.plans.storage import adjacency_storage_metrics
 
-        storage = adjacency_storage_metrics(spark, edges, f"{tmp}/storage")
+        hashed = edges.select(
+            F.xxhash64(F.col("src").cast("string")).alias("src"),
+            F.xxhash64(F.col("dst").cast("string")).alias("dst"),
+        )
+        storage = adjacency_storage_metrics(spark, hashed, f"{tmp}/storage")
     verts = (
         spark.range(0, BENCH_VERTICES)
         .select(F.col("id").alias("vertex"))
