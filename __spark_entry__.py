@@ -260,6 +260,29 @@ def _q_multimodal_meta(spark, sf_dir):
     )
 
 
+def _payload_docs(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("key"), F.col("text").cast("binary").alias("payload")
+    )
+
+
+def _q_decode_image(spark, sf_dir):
+    """mapInPandas decode plumbing, oracle-checked: the deterministic fake
+    kernel is md5-derived, so DuckDB reproduces it exactly (features
+    excluded: float32 stringification is engine-specific)."""
+    from webgraph_ans_rs_spark.operators.multimodal import decode_image_batches
+
+    return decode_image_batches(_payload_docs(spark, sf_dir)).select(
+        "key", "kind", "width", "height", "n_channels"
+    )
+
+
+def _q_frame_sample(spark, sf_dir):
+    from webgraph_ans_rs_spark.operators.multimodal import frame_sample
+
+    return frame_sample(_payload_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_count": _q_token_count,
@@ -278,6 +301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "simhash_pairs": _q_simhash_pairs,
         "multimodal_meta": _q_multimodal_meta,
+        "decode_image": _q_decode_image,
+        "frame_sample": _q_frame_sample,
         "lsh_topk": _q_lsh_topk,
         "dense_ids": _q_dense_ids,
         "outdegree": _q_outdegree,
@@ -319,6 +344,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": op.sessionize_sql(30),
         "simhash_pairs": op.simhash_pairs_sql(),
         "multimodal_meta": op.multimodal_meta_sql(),
+        "decode_image": op.decode_image_sql(),
+        "frame_sample": op.frame_sample_sql(),
         # lsh_topk intentionally has no oracle (approximate ANN) →
         # the driver records a rows-only check; exactness is
         # property-tested against brute force in tests/test_pipeline_ops.py

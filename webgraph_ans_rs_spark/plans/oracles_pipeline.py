@@ -197,6 +197,52 @@ def multimodal_meta_sql() -> str:
     )
 
 
+_HEXD = "0123456789abcdef"
+
+
+def _md5_byte(i: int, col: str = "h") -> str:
+    """Digest byte i (0-based) of an md5 hex column."""
+    return (
+        f"((strpos('{_HEXD}', substr({col}, {2 * i + 1}, 1)) - 1) * 16"
+        f" + strpos('{_HEXD}', substr({col}, {2 * i + 2}, 1)) - 1)"
+    )
+
+
+def decode_image_sql() -> str:
+    """Mirrors operators/multimodal.py decode_image_batches' deterministic
+    fake kernel (md5-derived dims) so the mapInPandas plumbing is
+    oracle-checked, not just pytest-checked. Features (float32 array) are
+    excluded — float32 stringification is not portable across engines."""
+    return (
+        "WITH b AS (SELECT doc_id AS key, md5(text) AS h,"
+        " CASE WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'"
+        " WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'"
+        " ELSE 'unknown' END AS kind FROM documents)\n"
+        "SELECT key, kind,"
+        f" CAST(16 + {_md5_byte(0)} % 240 AS INT) AS width,"
+        f" CAST(16 + {_md5_byte(1)} % 240 AS INT) AS height,"
+        f" CAST(1 + {_md5_byte(2)} % 3 AS INT) AS n_channels"
+        " FROM b"
+    )
+
+
+def frame_sample_sql(every_n: int = 10, max_frames: int = 5) -> str:
+    """Mirrors operators/multimodal.py frame_sample: n_frames from digest
+    byte 3, frame ids 0, every_n, 2·every_n, …; per-frame md5 over payload
+    bytes + 4-byte big-endian frame index (chr() concat reproduces the
+    exact bytes for indices < 256)."""
+    span = every_n * max_frames
+    frames = ", ".join(str(f) for f in range(0, span, every_n)[:max_frames])
+    return (
+        "WITH d AS (SELECT doc_id AS key, text, md5(text) AS h FROM documents),\n"
+        f"n AS (SELECT key, text, 1 + {_md5_byte(3)} % {span} AS n_frames FROM d),\n"
+        f"f AS (SELECT key, text, n_frames, unnest([{frames}]) AS frame_idx FROM n)\n"
+        "SELECT key, CAST(frame_idx AS INT) AS frame_idx,"
+        " md5(text || chr(0) || chr(0) || chr(0) || chr(frame_idx)) AS frame_md5"
+        " FROM f WHERE frame_idx < n_frames"
+    )
+
+
 def _emb_cte() -> str:
     return "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 
