@@ -110,6 +110,14 @@ def main() -> None:
         n_arcs_enum = hit.agg(F.coalesce(F.sum(F.size("dsts")), F.lit(0))).first()[0]
         ra_sec = time.time() - t0
         queries["random_access_10k"] = round(ra_sec, 3)
+
+        # sequential scan: enumerate EVERY successor in the written table —
+        # the reference's seq protocol (examples/bench_seq_access.rs:20-30,
+        # 3.4-21.5 ns/arc); ours is a full columnar scan of the dsts arrays
+        t0 = time.time()
+        n_arcs_seq = adj_t.agg(F.coalesce(F.sum(F.size("dsts")), F.lit(0))).first()[0]
+        seq_sec = time.time() - t0
+        queries["sequential_scan"] = round(seq_sec, 3)
         spark.sql("DROP TABLE IF EXISTS bench_adj")
 
         # storage accounting (reference: bit/link) — on the graph with ids
@@ -157,6 +165,8 @@ def main() -> None:
                 "random_access_nodes": 10000,
                 "random_access_arcs": int(n_arcs_enum),
                 "random_access_ns_per_arc": round(1e9 * ra_sec / max(1, n_arcs_enum)),
+                "sequential_arcs": int(n_arcs_seq),
+                "sequential_ns_per_arc": round(1e9 * seq_sec / max(1, n_arcs_seq), 1),
                 "storage": storage,
             }
         )
