@@ -266,6 +266,23 @@ def _payload_docs(spark, sf_dir):
     )
 
 
+def _q_dedup_resolve(spark, sf_dir):
+    return dd.dedup_resolve(_docs(spark, sf_dir))
+
+
+def _q_khop_sample(spark, sf_dir):
+    """Deterministic 2-hop sampled neighborhoods from every 97th doc — the
+    GNN-batch-loader shape; the md5-byte edge sampler is a pure function of
+    (src, dst) so DuckDB regenerates the identical sample."""
+    from webgraph_ans_rs_spark.operators.sampling import khop_neighbors
+
+    edges, _ = _graph(spark, sf_dir)
+    seeds = _docs(spark, sf_dir).where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").cast("long").alias("seed")
+    )
+    return khop_neighbors(edges, seeds, k=2, pct=30)
+
+
 def _q_decode_image(spark, sf_dir):
     """mapInPandas decode plumbing, oracle-checked: the deterministic fake
     kernel is md5-derived, so DuckDB reproduces it exactly (features
@@ -303,6 +320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "decode_image": _q_decode_image,
         "frame_sample": _q_frame_sample,
+        "dedup_resolve": _q_dedup_resolve,
+        "khop_sample": _q_khop_sample,
         "lsh_topk": _q_lsh_topk,
         "dense_ids": _q_dense_ids,
         "outdegree": _q_outdegree,
@@ -346,6 +365,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": op.multimodal_meta_sql(),
         "decode_image": op.decode_image_sql(),
         "frame_sample": op.frame_sample_sql(),
+        "dedup_resolve": op.dedup_resolve_sql(),
+        "khop_sample": op.khop_sql(dg.hash_edges_sql()),
         # lsh_topk intentionally has no oracle (approximate ANN) →
         # the driver records a rows-only check; exactness is
         # property-tested against brute force in tests/test_pipeline_ops.py

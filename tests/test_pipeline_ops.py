@@ -174,3 +174,35 @@ def test_fingerprint_normalization(spark):
     out = {r.doc_id: (r.fp, r.fp_norm) for r in ts.fingerprint(df).collect()}
     assert out[0][0] != out[1][0]  # raw differs
     assert out[0][1] == out[1][1] == out[2][1]  # normalized collapses
+
+
+def test_dedup_resolve_keeps_best_quality(spark):
+    rows = [
+        (0, "x y z " * 3),                    # dup cluster A (short)
+        (5, "x y z " * 3),                    # same text, larger id
+        (2, "the quick brown fox is here and the words keep going on"),
+        (3, "the quick brown fox is here and the words keep going on"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.fp: (r.keep_id, r.n_copies) for r in dd.dedup_resolve(df).collect()}
+    assert len(out) == 2
+    picks = {v[0]: v[1] for v in out.values()}
+    # equal quality inside each cluster -> smallest id wins
+    assert picks == {0: 2, 2: 2}
+
+
+def test_khop_neighbors_min_hop_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from webgraph_ans_rs_spark.operators.sampling import khop_neighbors, sample_edges
+
+    es = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(es, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "seed long")
+    # pct=100 keeps every edge -> exact BFS distances
+    got = {(r.seed, r.vertex): r.hop for r in khop_neighbors(edges, seeds, k=2, pct=100).collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (1, 4): 2}
+    # determinism: the sampled edge set is identical across evaluations
+    a = sorted(tuple(r) for r in sample_edges(edges, 50).collect())
+    b = sorted(tuple(r) for r in sample_edges(edges.repartition(7), 50).collect())
+    assert a == b

@@ -54,6 +54,37 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def dedup_resolve(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(fp, keep_id, n_copies, best_quality) — per exact-duplicate cluster,
+    keep the highest-quality copy (tie → smallest id).
+
+    The operator real pipelines run after dedup detection: duplicates often
+    differ in surrounding boilerplate, so "min id" is the wrong keeper.
+    Window argmax per cluster (partition-parallel); quality comes from
+    textstats.quality_score (already 6dp-rounded, so the ordering is
+    engine-portable).
+    """
+    from pyspark.sql import Window
+
+    from .textstats import quality_score
+
+    fp = docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col("text").cast("binary")).alias("fp"))
+    q = quality_score(docs).select("doc_id", "quality")
+    joined = fp.join(q, "doc_id")
+    w = Window.partitionBy("fp").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(Window.partitionBy("fp")))
+        .where(F.col("rn") == 1)
+        .select(
+            "fp",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+            F.col("quality").alias("best_quality"),
+        )
+    )
+
+
 def shingles(docs: DataFrame, id_col: str = "doc_id", n: int = NGRAM) -> DataFrame:
     """(doc_id, sh) — distinct word n-gram shingles per doc. Docs with fewer
     than n tokens produce no shingles."""

@@ -85,6 +85,46 @@ def exact_dedup_sql() -> str:
     )
 
 
+def dedup_resolve_sql() -> str:
+    """Mirrors operators/dedup.py dedup_resolve: per exact-dup cluster keep
+    the highest-quality copy (tie → smallest id)."""
+    return (
+        f"WITH q AS ({quality_score_sql()}),\n"
+        "fp AS (SELECT doc_id, md5(text) AS fp FROM documents),\n"
+        "j AS (SELECT fp.fp, fp.doc_id, q.quality FROM fp JOIN q USING (doc_id)),\n"
+        "r AS (SELECT fp, doc_id, quality,"
+        " ROW_NUMBER() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id ASC) AS rn,"
+        " COUNT(*) OVER (PARTITION BY fp) AS n FROM j)\n"
+        "SELECT fp, doc_id AS keep_id, CAST(n AS BIGINT) AS n_copies,"
+        " quality AS best_quality FROM r WHERE rn = 1"
+    )
+
+
+def khop_sql(edges_cte: str, seed_mod: int = 97, k: int = 2, pct: int = 30) -> str:
+    """Mirrors operators/sampling.py khop_neighbors (k=2) over the derived
+    hash graph: same md5-byte edge sampler, same min-hop semantics."""
+    assert k == 2, "oracle is unrolled for k=2"
+    b0 = (
+        f"((strpos('{_HEXD}', substr(h, 1, 1)) - 1) * 16"
+        f" + strpos('{_HEXD}', substr(h, 2, 1)) - 1)"
+    )
+    return (
+        f"WITH edges AS ({edges_cte}),\n"
+        f"s AS (SELECT CAST(doc_id AS BIGINT) AS seed FROM documents"
+        f" WHERE doc_id % {seed_mod} = 0),\n"
+        "hs AS (SELECT src, dst,"
+        " md5(CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)) AS h FROM edges),\n"
+        f"samp AS (SELECT src, dst FROM hs WHERE {b0} % 100 < {pct}),\n"
+        "h1 AS (SELECT DISTINCT seed, dst AS v FROM s JOIN samp ON samp.src = s.seed),\n"
+        "h2 AS (SELECT DISTINCT seed, samp.dst AS v FROM h1"
+        " JOIN samp ON samp.src = h1.v),\n"
+        "u AS (SELECT seed, v, 1 AS hop FROM h1"
+        " UNION ALL SELECT seed, v, 2 AS hop FROM h2)\n"
+        "SELECT seed, v AS vertex, CAST(MIN(hop) AS INT) AS hop FROM u"
+        " WHERE v <> seed GROUP BY 1, 2"
+    )
+
+
 def _shingles_cte(n: int = NGRAM) -> str:
     return (
         "d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),\n"
