@@ -308,14 +308,31 @@ def cosine_topk_sql(query_ids: list[int], k: int = 5) -> str:
     )
 
 
+def _dsum(expr: str) -> str:
+    """Mirror of operators/relational.py _dsum: per-row double expression →
+    exact micro-units (round(x·1e6)) → decimal(38,0) SUM — order- AND
+    engine-independent (double→decimal casts disagree between engines at
+    the 10th decimal; round-to-integer of a value whose true target is an
+    integer cannot)."""
+    return f"SUM(CAST(ROUND(({expr}) * 1e6, 0) AS DECIMAL(38,0)))"
+
+
+def _dval(sum_expr: str, divisor: str | None = None) -> str:
+    v = f"CAST({sum_expr} AS DOUBLE) / 1e6"
+    if divisor is not None:
+        v = f"({v}) / {divisor}"
+    return f"ROUND({v}, 6)"
+
+
 def pricing_summary_sql() -> str:
+    disc_price = "l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)"
     return (
         "SELECT l_returnflag, l_linestatus,"
-        " ROUND(SUM(l_quantity), 6) AS sum_qty,"
-        " ROUND(SUM(l_extendedprice), 6) AS sum_base_price,"
-        " ROUND(SUM(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 6) AS sum_disc_price,"
-        " ROUND(AVG(l_quantity), 6) AS avg_qty,"
-        " ROUND(AVG(l_discount), 6) AS avg_disc,"
+        f" {_dval(_dsum('l_quantity'))} AS sum_qty,"
+        f" {_dval(_dsum('l_extendedprice'))} AS sum_base_price,"
+        f" {_dval(_dsum(disc_price))} AS sum_disc_price,"
+        f" {_dval(_dsum('l_quantity'), 'COUNT(*)')} AS avg_qty,"
+        f" {_dval(_dsum('l_discount'), 'COUNT(*)')} AS avg_disc,"
         " COUNT(*) AS count_order"
         " FROM lineitem GROUP BY 1, 2"
     )
@@ -324,7 +341,8 @@ def pricing_summary_sql() -> str:
 def top_customers_sql(k: int = 20) -> str:
     return (
         "SELECT custkey, c_name, total_spend FROM ("
-        "SELECT o_custkey AS custkey, ROUND(SUM(o_totalprice), 6) AS total_spend"
+        "SELECT o_custkey AS custkey,"
+        f" {_dval(_dsum('o_totalprice'))} AS total_spend"
         " FROM orders GROUP BY 1) s JOIN customer c ON c.c_custkey = s.custkey"
         f" ORDER BY total_spend DESC, custkey ASC LIMIT {k}"
     )
@@ -352,7 +370,8 @@ def sessionize_sql(gap_minutes: int = 30) -> str:
 def events_hourly_sql() -> str:
     return (
         "SELECT date_trunc('hour', ts) AS window_start, event_type,"
-        " COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value"
+        " COUNT(*) AS n_events,"
+        f" {_dval(_dsum('value'))} AS total_value"
         " FROM events GROUP BY 1, 2"
     )
 

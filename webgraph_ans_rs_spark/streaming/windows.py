@@ -39,7 +39,15 @@ def windowed_event_counts(
         e.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            # micro-unit accumulation: order/engine-independent sum
+            # (see operators/relational._dsum)
+            F.round(
+                F.sum(F.round(F.col("value") * F.lit(1e6), 0).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / F.lit(1e6),
+                6,
+            ).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
