@@ -56,6 +56,12 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warmup: JIT/codegen/parquet-reader init so the first headline query
+    # isn't charged for JVM boot (the reference's protocol is median-of-10
+    # on a warm process, script.py:123-142)
+    spark.range(0, 1_000_000).agg(F.sum("id")).collect()
+    entry_mod.queries()["outdegree"](spark, sf_dir).count()
+
     queries: dict[str, float] = {}
     qs = entry_mod.queries()
     for name in HEADLINE:
