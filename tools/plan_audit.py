@@ -157,6 +157,36 @@ def main() -> int:
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 
+    # 10. pipeline hot paths are JVM-only and partial-aggregated: the dedup
+    # and similarity operators must never plan a Python eval in their
+    # relational stages (the engine's "UDFs are the slow path" rule)
+    from webgraph_ans_rs_spark.operators import dedup as dd
+    from webgraph_ans_rs_spark.operators import similarity as simop
+
+    sim_emb = docs.limit(64).select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(*[(F.col("doc_id") * (i + 1) % 17).cast("float") / 17 for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    pipeline_plans = {
+        "simhash_pairs": plan_of(dd.simhash_dup_pairs(docs.limit(64))),
+        "minhash_lsh": plan_of(dd.minhash_lsh_pairs(docs.limit(64))),
+        "neardup_lsh": plan_of(
+            simop.cosine_neardup_pairs_lsh(sim_emb, dim=8, bands=2, planes_per_band=4)
+        ),
+    }
+    bad = [n for n, p in pipeline_plans.items() if "BatchEvalPython" in p or "ArrowEvalPython" in p]
+    check(
+        "jvm-only: dedup/similarity hot paths have no Python eval nodes",
+        not bad,
+        f"(python-eval in: {bad})" if bad else "",
+    )
+    check(
+        "partial-agg: simhash signature sums are map-side combined",
+        "partial_sum" in pipeline_plans["simhash_pairs"],
+    )
+
     failed = [c for c in checks if not c[1]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan properties hold")
     return 1 if failed else 0
