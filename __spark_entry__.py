@@ -138,6 +138,39 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.ranks.select("vertex", F.round("pr", 8).alias("pr"))
 
 
+def _q_successors_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hub-segmented CSR flattened back to canonical successor strings —
+    proves build_csr_segments preserves exact adjacency semantics under the
+    same oracle as `successors` (max_segment=4 forces real splitting: the
+    derived graph's outdegrees are ~7)."""
+    from webgraph_ans_rs_spark.operators.graph_build import build_csr_segments
+
+    edges, _ = _graph(spark, sf_dir)
+    seg = build_csr_segments(edges, max_segment=4)
+    return (
+        seg.select("src", F.explode("dsts").alias("dst"))
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("dsts"))
+        .select(
+            F.col("src").alias("vertex"),
+            F.array_join(F.transform("dsts", lambda x: x.cast("string")), ",").alias("succs"),
+        )
+    )
+
+
+def _q_pagerank_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stats-pass->layout-driven PageRank path under the driver gate:
+    segmented CSR + explicit shuffle partitions; same unrolled oracle,
+    rounded 6dp (segment gathers change float summation order by ~1e-16
+    relative, far below the rounding)."""
+    edges, verts = _graph(spark, sf_dir)
+    result = pagerank(
+        edges, verts, max_iter=PAGERANK_ITERS, tol=None,
+        shuffle_partitions=16, max_segment=4,
+    )
+    return result.ranks.select("vertex", F.round("pr", 6).alias("pr"))
+
+
 def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, verts = _clustered(spark, sf_dir)
     return connected_components(edges, verts)
@@ -330,6 +363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "successors": _q_successors,
         "num_nodes_arcs": _q_num_nodes_arcs,
         "pagerank_5iter": _q_pagerank,
+        "pagerank_layout": _q_pagerank_layout,
+        "successors_segmented": _q_successors_segmented,
         "connected_components": _q_connected_components,
         "label_propagation_2iter": _q_label_propagation,
         "triangle_count": _q_triangle_count,
@@ -380,6 +415,8 @@ def oracle_sql() -> dict[str, str]:
         "successors": oracles.successors_sql(),
         "num_nodes_arcs": oracles.num_nodes_arcs_sql(),
         "pagerank_5iter": oracles.pagerank_sql(PAGERANK_ITERS),
+        "pagerank_layout": oracles.pagerank_sql(PAGERANK_ITERS, round_dp=6),
+        "successors_segmented": oracles.successors_sql(),
         "connected_components": oracles.connected_components_sql(),
         "label_propagation_2iter": oracles.label_propagation_sql(LP_ITERS),
         "triangle_count": oracles.triangle_count_sql(),

@@ -88,7 +88,7 @@ def num_nodes_arcs_sql() -> str:
     )
 
 
-def pagerank_sql(num_iter: int = 5, damping: float = _D) -> str:
+def pagerank_sql(num_iter: int = 5, damping: float = _D, round_dp: int = 8) -> str:
     """Unrolled power iteration mirroring operators/pagerank.py float-op
     order: w = 1.0/outdeg precomputed, contribution = pr*w,
     base = (1-d)/n + d*dm/n (driver-side scalar), pr = base + d*g."""
@@ -124,7 +124,7 @@ def pagerank_sql(num_iter: int = 5, damping: float = _D) -> str:
             f" FROM verts v LEFT JOIN s{i} s USING (vertex))"
         )
     body = ",\n".join(ctes)
-    return f"WITH {body}\nSELECT vertex, ROUND(pr, 8) AS pr FROM r{num_iter}"
+    return f"WITH {body}\nSELECT vertex, ROUND(pr, {round_dp}) AS pr FROM r{num_iter}"
 
 
 def connected_components_sql() -> str:
