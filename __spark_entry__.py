@@ -215,7 +215,7 @@ def _q_exact_dedup(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir))
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), n_docs=_n_docs(spark, sf_dir))
 
 
 def _q_minhash_lsh(spark, sf_dir):

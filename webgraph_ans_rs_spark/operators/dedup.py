@@ -104,7 +104,8 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.05,
     id_col: str = "doc_id",
-    max_df: int = MAX_SHINGLE_DF,
+    max_df: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(a, b, jaccard) with a < b and jaccard >= threshold, rounded 6dp.
 
@@ -115,7 +116,15 @@ def ngram_jaccard_pairs(
     intended web-scale semantics (stop-shingles carry no dedup signal and
     explode candidate pairs quadratically); the DuckDB oracle mirrors the
     same estimate.
+
+    ``max_df`` defaults to corpus-relative: max(MAX_SHINGLE_DF, 0.1% of
+    docs) — an absolute cap under-prunes at web scale (a shingle in 101
+    docs out of 1e12 is not a stop-shingle) and over-prunes tiny corpora.
     """
+    if max_df is None:
+        if n_docs is None:
+            n_docs = docs.count()
+        max_df = max(MAX_SHINGLE_DF, n_docs // 1000)
     sh = shingles(docs, id_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # stop-shingle removal bounds the candidate join fan-out

@@ -133,12 +133,18 @@ def _shingles_cte(n: int = NGRAM) -> str:
     )
 
 
-def ngram_jaccard_sql(threshold: float = 0.05, max_df: int = MAX_SHINGLE_DF) -> str:
+def ngram_jaccard_sql(threshold: float = 0.05, max_df: int | None = None) -> str:
+    # corpus-relative cap, mirrored from ngram_jaccard_pairs' default
+    cap = (
+        str(max_df)
+        if max_df is not None
+        else f"GREATEST({MAX_SHINGLE_DF}, (SELECT COUNT(*) FROM documents) // 1000)"
+    )
     return (
         f"WITH {_shingles_cte()},\n"
         "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),\n"
         f"rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1) f"
-        f" ON f.sh = s.sh WHERE f.df <= {max_df}),\n"
+        f" ON f.sh = s.sh WHERE f.df <= {cap}),\n"
         "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter"
         " FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)\n"
         "SELECT a, b, jaccard FROM ("
