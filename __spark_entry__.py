@@ -265,8 +265,10 @@ def _q_simhash_pairs(spark, sf_dir):
 
 
 def _q_lsh_topk(spark, sf_dir):
-    """Rows-only check: approximate ANN has no SQL-expressible oracle;
-    exactness is property-tested against brute force in pytest."""
+    """Approximate ANN — but the approximation is a deterministic function
+    of the data (fixed ±1 hyperplanes, single-bucket candidates), so the
+    oracle reproduces it exactly; recall vs brute force is property-tested
+    separately in pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.lsh_topk(emb, SIM_QUERY_IDS)
 
@@ -402,9 +404,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": op.frame_sample_sql(),
         "dedup_resolve": op.dedup_resolve_sql(),
         "khop_sample": op.khop_sql(dg.hash_edges_sql()),
-        # lsh_topk intentionally has no oracle (approximate ANN) →
-        # the driver records a rows-only check; exactness is
-        # property-tested against brute force in tests/test_pipeline_ops.py
+        "lsh_topk": op.lsh_topk_sql(SIM_QUERY_IDS, dim=EMB_DIM),
         "dense_ids": (
             "SELECT vertex, CAST(ROW_NUMBER() OVER (ORDER BY vertex) - 1 AS BIGINT)"
             " AS dense_id FROM (SELECT CAST(doc_id AS BIGINT) AS vertex FROM documents)"

@@ -300,6 +300,34 @@ def _cos(a: str, b: str) -> str:
     )
 
 
+def lsh_topk_sql(
+    query_ids: list[int], k: int = 5, dim: int = 64, n_planes: int = 8, seed: int = 42
+) -> str:
+    """Mirrors operators/similarity.py lsh_topk exactly: same deterministic
+    ±1 hyperplanes (inlined as literals), same single-bucket candidate set,
+    same (cos desc, vb asc) ranking — the approximate result is itself a
+    deterministic function of the data, so it IS oracle-checkable."""
+    from ..operators.similarity import _hyperplane
+
+    bits = []
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p, seed)
+        lit = "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in plane) + "]"
+        bits.append(f"CASE WHEN list_inner_product(v, {lit}) > 0 THEN {1 << p} ELSE 0 END")
+    ids = ", ".join(str(i) for i in query_ids)
+    return (
+        f"WITH {_emb_cte()},\n"
+        f"b AS (SELECT vec_id, v, {' + '.join(bits)} AS bucket FROM e),\n"
+        f"q AS (SELECT vec_id AS qa, v AS qv, bucket AS qb FROM b WHERE vec_id IN ({ids})),\n"
+        "scored AS (SELECT qa, b.vec_id AS vb,"
+        f" ROUND({_cos('qv', 'b.v')}, 6) AS cos"
+        " FROM b JOIN q ON b.bucket = q.qb WHERE qa <> b.vec_id)\n"
+        "SELECT qa, vb, cos, rn FROM ("
+        "SELECT qa, vb, cos, ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos DESC, vb ASC) AS rn"
+        f" FROM scored) WHERE rn <= {k}"
+    )
+
+
 def cosine_topk_sql(query_ids: list[int], k: int = 5) -> str:
     ids = ", ".join(str(i) for i in query_ids)
     return (
