@@ -60,28 +60,23 @@ def dedup_resolve(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     The operator real pipelines run after dedup detection: duplicates often
     differ in surrounding boilerplate, so "min id" is the wrong keeper.
-    Window argmax per cluster (partition-parallel); quality comes from
-    textstats.quality_score (already 6dp-rounded, so the ordering is
-    engine-portable).
+    Implemented as a plain aggregation (max_by on a (quality, -id) struct —
+    deterministic because ids are unique) rather than a window: an
+    aggregation gets map-side partial combining, so a pathological cluster
+    (1e9 copies of one page) never lands in a single window partition.
+    Quality comes from textstats.quality_score (6dp-rounded, so the
+    ordering is engine-portable).
     """
-    from pyspark.sql import Window
-
     from .textstats import quality_score
 
     fp = docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col("text").cast("binary")).alias("fp"))
     q = quality_score(docs).select("doc_id", "quality")
     joined = fp.join(q, "doc_id")
-    w = Window.partitionBy("fp").orderBy(F.desc("quality"), F.asc("doc_id"))
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_copies", F.count("*").over(Window.partitionBy("fp")))
-        .where(F.col("rn") == 1)
-        .select(
-            "fp",
-            F.col("doc_id").alias("keep_id"),
-            F.col("n_copies").cast("long").alias("n_copies"),
-            F.col("quality").alias("best_quality"),
-        )
+    ordkey = F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid"))
+    return joined.groupBy("fp").agg(
+        F.max_by("doc_id", ordkey).alias("keep_id"),
+        F.count("*").alias("n_copies"),
+        F.max("quality").alias("best_quality"),
     )
 
 
