@@ -158,6 +158,21 @@ def _q_successors_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_successors_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-coded CSR (dsts → [first−src, gap…]) round-tripped through
+    decode — the storage layout that closes the bits/link gap (BV residual
+    semantics, /root/reference/src/bvgraph/mod.rs:13-23) proven lossless
+    under the same oracle as `successors`."""
+    from webgraph_ans_rs_spark.operators.graph_build import decode_gaps, encode_gaps
+
+    edges, _ = _graph(spark, sf_dir)
+    adj = decode_gaps(encode_gaps(build_csr_adjacency(edges)))
+    return adj.select(
+        F.col("src").alias("vertex"),
+        F.array_join(F.transform("dsts", lambda x: x.cast("string")), ",").alias("succs"),
+    )
+
+
 def _q_pagerank_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stats-pass->layout-driven PageRank path under the driver gate:
     segmented CSR + explicit shuffle partitions; same unrolled oracle,
@@ -363,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indegree": _q_indegree,
         "degree_distribution": _q_degree_distribution,
         "successors": _q_successors,
+        "successors_gaps": _q_successors_gaps,
         "num_nodes_arcs": _q_num_nodes_arcs,
         "pagerank_5iter": _q_pagerank,
         "pagerank_layout": _q_pagerank_layout,
@@ -413,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "indegree": oracles.indegree_sql(),
         "degree_distribution": oracles.degree_distribution_sql(),
         "successors": oracles.successors_sql(),
+        "successors_gaps": oracles.successors_sql(),
         "num_nodes_arcs": oracles.num_nodes_arcs_sql(),
         "pagerank_5iter": oracles.pagerank_sql(PAGERANK_ITERS),
         "pagerank_layout": oracles.pagerank_sql(PAGERANK_ITERS, round_dp=6),

@@ -187,6 +187,26 @@ def main() -> int:
         "partial_sum" in pipeline_plans["simhash_pairs"],
     )
 
+    # 11. label propagation's argmax is an aggregation (map-side partial
+    # min_by), NOT a per-vertex window sort — the hub-safe reducer shape
+    # (a web hub has 1e7+ distinct neighbor labels; a window puts them all
+    # in one task's sort)
+    from webgraph_ans_rs_spark.operators.labelprop import _argmax_labels
+    from webgraph_ans_rs_spark.plans.derived_graph import undirected_symmetrize
+
+    und = undirected_symmetrize(edges)
+    labels = vertices(docs).select("vertex", F.col("vertex").alias("label"))
+    hist = (
+        und.join(labels.withColumnRenamed("vertex", "nv"), und["dst"] == F.col("nv"))
+        .groupBy(und["src"].alias("vertex"), F.col("label").alias("nbr_label"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    lp_plan = plan_of(_argmax_labels(hist))
+    check(
+        "lp-argmax: aggregation with partial min_by, no Window",
+        "partial_min_by" in lp_plan and "Window" not in lp_plan,
+    )
+
     failed = [c for c in checks if not c[1]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan properties hold")
     return 1 if failed else 0

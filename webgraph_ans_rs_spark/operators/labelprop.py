@@ -7,10 +7,14 @@ nondeterministic and oracle comparison is impossible). Vertices with no
 neighbors keep their label.
 
 Plan per superstep: join(neighbors, labels) → groupBy(vertex, label).count
-→ window argmax (row_number over count desc, label asc). The histogram
-aggregation gets map-side partial combine; the window's partitionBy(vertex)
-reuses the same hash partitioning as the groupBy, so Catalyst plans one
-exchange for both.
+→ argmax as a plain aggregation: ``min_by(nbr_label, struct(-cnt,
+nbr_label))`` — min over (-count, label) is exactly (count desc, label asc).
+Both aggregations get map-side partial combine, so a hub vertex's distinct
+neighbor labels (up to its degree — 1e7+ at web scale) arrive at the reducer
+as pre-combined partials instead of landing in a single window partition on
+one task. (``-cnt`` cannot overflow: cnt ≥ 1; negating the *label* would
+risk Long.MIN_VALUE with hashed ids, which is why the order key negates the
+count, not the label.)
 
 Fixed-iteration mode (``num_iter``) is what the oracle compares —
 synchronous LP is only well-defined per iteration count.
@@ -24,14 +28,39 @@ from pyspark.sql import functions as F
 from ..plans.derived_graph import undirected_symmetrize
 
 
+def _argmax_labels(hist: DataFrame) -> DataFrame:
+    """(vertex, nbr_label) — most frequent label, ties to smallest label.
+    Aggregation form (hub-safe): map-side partial min_by, no window sort."""
+    ordkey = F.struct((-F.col("cnt")).alias("nc"), F.col("nbr_label").alias("lbl"))
+    return hist.groupBy("vertex").agg(F.min_by("nbr_label", ordkey).alias("nbr_label"))
+
+
+def _argmax_labels_window(hist: DataFrame) -> DataFrame:
+    """Window-argmax form, kept as the pytest cross-check for the
+    aggregation rewrite (it was the engine default through round 2; at
+    web scale it puts a hub's whole label histogram in one task)."""
+    w = Window.partitionBy("vertex").orderBy(F.desc("cnt"), F.asc("nbr_label"))
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vertex", "nbr_label")
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     verts: DataFrame,
     num_iter: int = 5,
     checkpoint_manager=None,
     job_id: str = "lp",
+    argmax: str = "agg",
 ) -> DataFrame:
-    """(vertex long, label long) after exactly ``num_iter`` synchronous steps."""
+    """(vertex long, label long) after exactly ``num_iter`` synchronous steps.
+
+    ``argmax`` selects the per-vertex label-argmax implementation: "agg"
+    (default, hub-safe min_by aggregation) or "window" (row_number form,
+    kept for the equality cross-check in tests)."""
+    pick = _argmax_labels if argmax == "agg" else _argmax_labels_window
     und = undirected_symmetrize(edges).persist()
     und.count()
 
@@ -43,18 +72,13 @@ def label_propagation(
             start, labels = resumed
     labels = labels.localCheckpoint(eager=True)
 
-    w = Window.partitionBy("vertex").orderBy(F.desc("cnt"), F.asc("nbr_label"))
     for it in range(start + 1, num_iter + 1):
         hist = (
             und.join(labels.withColumnRenamed("vertex", "nv"), und["dst"] == F.col("nv"))
             .groupBy(und["src"].alias("vertex"), F.col("label").alias("nbr_label"))
             .agg(F.count("*").alias("cnt"))
         )
-        best = (
-            hist.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vertex", F.col("nbr_label"))
-        )
+        best = pick(hist)
         labels = (
             labels.join(best, "vertex", "left")
             .select("vertex", F.coalesce("nbr_label", F.col("label")).alias("label"))

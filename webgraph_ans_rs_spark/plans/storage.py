@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
-from ..operators.graph_build import build_csr_adjacency, dense_ids
+from ..operators.graph_build import build_csr_adjacency, dense_ids, encode_gaps
 
 
 def dir_bytes(spark: SparkSession, path: str) -> int:
@@ -71,11 +71,25 @@ def adjacency_storage_metrics(
     csr_dense = build_csr_adjacency(dedges, num_buckets).repartition(
         num_buckets, "src"
     ).sortWithinPartitions("src")
-    layouts = (("raw_edges", raw), ("csr_adjacency", csr), ("csr_dense_ids", csr_dense))
+    # gap-coded dense CSR: [first, gap, gap…] int32 arrays — the BV-residual
+    # analogue (reference src/bvgraph/mod.rs:13-23); written with parquet v2
+    # page encodings so small gaps hit DELTA_BINARY_PACKED before the codec
+    csr_gaps = encode_gaps(csr_dense, int_gaps=True).repartition(
+        num_buckets, "src"
+    ).sortWithinPartitions("src")
+    layouts = (
+        ("raw_edges", raw),
+        ("csr_adjacency", csr),
+        ("csr_dense_ids", csr_dense),
+        ("csr_dense_gaps", csr_gaps),
+    )
     for codec in codecs:
         for name, df in layouts:
             path = f"{base_dir}/{name}-{codec}"
-            df.write.mode("overwrite").option("compression", codec).parquet(path)
+            writer = df.write.mode("overwrite").option("compression", codec)
+            if name == "csr_dense_gaps":
+                writer = writer.option("parquet.writer.version", "v2")
+            writer.parquet(path)
             b = dir_bytes(spark, path)
             out["layouts"][f"{name}-{codec}"] = {
                 "bytes": b,
