@@ -186,6 +186,34 @@ def _q_pagerank_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.ranks.select("vertex", F.round("pr", 6).alias("pr"))
 
 
+PR_CONV_DAMPING = 0.5  # geometric rate ~0.5/iter → tol=1e-6 in ~20 iters
+PR_CONV_TOL = 1e-6
+PR_CONV_MAX_ITER = 35
+
+
+def _q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence-mode PageRank (the tol/L1-delta loop the bench headline
+    advertises) under the oracle gate: runs until L1 delta <= 1e-6 on the
+    clustered graph and reports the iteration count alongside the scores —
+    the oracle unrolls the same stopping rule, so agreement gates both the
+    converged values AND iterations-to-convergence. Engine/oracle L1 sums
+    differ only ~1e-15 relative while consecutive deltas differ ~2×, so the
+    threshold comparison can't flip between engines."""
+    edges, verts = _clustered(spark, sf_dir)
+    result = pagerank(
+        edges,
+        verts,
+        damping=PR_CONV_DAMPING,
+        max_iter=PR_CONV_MAX_ITER,
+        tol=PR_CONV_TOL,
+    )
+    return result.ranks.select(
+        "vertex",
+        F.round("pr", 6).alias("pr"),
+        F.lit(result.iterations).cast("long").alias("iters"),
+    )
+
+
 def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, verts = _clustered(spark, sf_dir)
     return connected_components(edges, verts)
@@ -333,6 +361,19 @@ def _q_khop_sample(spark, sf_dir):
     return khop_neighbors(edges, seeds, k=2, pct=30)
 
 
+def _q_khop_capped(spark, sf_dir):
+    """GraphSAGE-style fixed-fan-out sampling: each hop's frontier capped at
+    4 vertices per seed via exact salted two-stage top-K (no per-seed
+    window sort in the engine); same seeds/sampler as khop_sample."""
+    from webgraph_ans_rs_spark.operators.sampling import khop_neighbors_capped
+
+    edges, _ = _graph(spark, sf_dir)
+    seeds = _docs(spark, sf_dir).where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").cast("long").alias("seed")
+    )
+    return khop_neighbors_capped(edges, seeds, k=2, pct=30, max_per_hop=4)
+
+
 def _q_decode_image(spark, sf_dir):
     """mapInPandas decode plumbing, oracle-checked: the deterministic fake
     kernel is md5-derived, so DuckDB reproduces it exactly (features
@@ -372,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "dedup_resolve": _q_dedup_resolve,
         "khop_sample": _q_khop_sample,
+        "khop_capped": _q_khop_capped,
         "lsh_topk": _q_lsh_topk,
         "dense_ids": _q_dense_ids,
         "outdegree": _q_outdegree,
@@ -381,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "successors_gaps": _q_successors_gaps,
         "num_nodes_arcs": _q_num_nodes_arcs,
         "pagerank_5iter": _q_pagerank,
+        "pagerank_converged": _q_pagerank_converged,
         "pagerank_layout": _q_pagerank_layout,
         "successors_segmented": _q_successors_segmented,
         "connected_components": _q_connected_components,
@@ -420,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": op.frame_sample_sql(),
         "dedup_resolve": op.dedup_resolve_sql(),
         "khop_sample": op.khop_sql(dg.hash_edges_sql()),
+        "khop_capped": op.khop_capped_sql(dg.hash_edges_sql(), max_per_hop=4),
         "lsh_topk": op.lsh_topk_sql(SIM_QUERY_IDS, dim=EMB_DIM),
         "dense_ids": (
             "SELECT vertex, CAST(ROW_NUMBER() OVER (ORDER BY vertex) - 1 AS BIGINT)"
@@ -432,6 +476,9 @@ def oracle_sql() -> dict[str, str]:
         "successors_gaps": oracles.successors_sql(),
         "num_nodes_arcs": oracles.num_nodes_arcs_sql(),
         "pagerank_5iter": oracles.pagerank_sql(PAGERANK_ITERS),
+        "pagerank_converged": oracles.pagerank_converged_sql(
+            PR_CONV_MAX_ITER, PR_CONV_DAMPING, PR_CONV_TOL
+        ),
         "pagerank_layout": oracles.pagerank_sql(PAGERANK_ITERS, round_dp=6),
         "successors_segmented": oracles.successors_sql(),
         "connected_components": oracles.connected_components_sql(),

@@ -137,6 +137,44 @@ def main() -> None:
             F.xxhash64(F.col("dst").cast("string")).alias("dst"),
         )
         storage = adjacency_storage_metrics(spark, hashed, f"{tmp}/storage")
+
+        # locality block: the same layouts on a web-LIKE graph (power-law
+        # src±offset links) with ORDER-PRESERVING dense ids — real crawls
+        # have host locality and WebGraph numbers nodes in URL order, which
+        # is where the reference's 2.897 bits/link on cnr-2000 comes from;
+        # the hashed sweep above destroys that locality by construction
+        from webgraph_ans_rs_spark.operators.graph_build import (
+            build_csr_adjacency,
+            encode_gaps,
+        )
+        from webgraph_ans_rs_spark.plans.bench_graph import synthetic_edges_local
+        from webgraph_ans_rs_spark.plans.storage import dir_bytes
+
+        ledges = synthetic_edges_local(spark, BENCH_VERTICES // 4).persist()
+        ln = ledges.count()
+        ladj = build_csr_adjacency(ledges, 8)
+        lgaps = (
+            encode_gaps(ladj, int_gaps=True)
+            .repartition(8, "src")
+            .sortWithinPartitions("src")
+        )
+        ldense = ladj.repartition(8, "src").sortWithinPartitions("src")
+        storage["locality"] = {"num_edges": ln, "layouts": {}}
+        for nm, df, opts in (
+            ("csr_dense_ids", ldense, {}),
+            ("csr_dense_gaps", lgaps, {"parquet.writer.version": "v2"}),
+        ):
+            path = f"{tmp}/loc-{nm}"
+            w = df.write.mode("overwrite").option("compression", "zstd")
+            for k, v in opts.items():
+                w = w.option(k, v)
+            w.parquet(path)
+            b = dir_bytes(spark, path)
+            storage["locality"]["layouts"][f"{nm}-zstd"] = {
+                "bytes": b,
+                "bits_per_link": round(8.0 * b / ln, 3),
+            }
+        ledges.unpersist()
     verts = (
         spark.range(0, BENCH_VERTICES)
         .select(F.col("id").alias("vertex"))

@@ -1,0 +1,60 @@
+"""Fan-out-capped k-hop sampling: the per-seed cap binds on hubs, the
+salted two-stage top-K equals the window top-K, and capped output is a
+subset of the uncapped neighborhood."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from webgraph_ans_rs_spark.operators.sampling import (
+    _rank_hex,
+    _topk_per_seed,
+    khop_neighbors,
+    khop_neighbors_capped,
+)
+
+from tests.conftest import seeded_random_graph
+
+
+def test_cap_binds_on_hub(spark):
+    """A seed pointing at 200 sampled neighbors keeps exactly max_per_hop."""
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 201)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    out = khop_neighbors_capped(edges, seeds, k=1, pct=100, max_per_hop=5)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r.hop == 1 for r in rows)
+
+
+def test_salted_topk_equals_window_topk(spark):
+    edges, _, _, _ = seeded_random_graph(spark, n=100, m=1500)
+    cand = edges.select(F.col("src").alias("seed"), F.col("dst").alias("v")).dropDuplicates(
+        ["seed", "v"]
+    )
+    k = 3
+    salted = sorted((r.seed, r.v) for r in _topk_per_seed(cand, k, n_salts=8).collect())
+    w = Window.partitionBy("seed").orderBy(_rank_hex(F.col("seed"), F.col("v")), F.col("v"))
+    window = sorted(
+        (r.seed, r.v)
+        for r in cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).collect()
+    )
+    assert salted == window
+
+
+def test_capped_subset_of_uncapped_first_hop(spark):
+    """Hop-1 capped vertices are always a subset of the uncapped hop-1 set
+    (later hops may differ legitimately — the frontier itself is capped)."""
+    edges, _, _, _ = seeded_random_graph(spark, n=100, m=1500)
+    seeds = spark.createDataFrame([(i,) for i in range(0, 100, 7)], "seed long")
+    full = {
+        (r.seed, r.vertex)
+        for r in khop_neighbors(edges, seeds, k=1, pct=50).collect()
+    }
+    capped = {
+        (r.seed, r.vertex)
+        for r in khop_neighbors_capped(edges, seeds, k=1, pct=50, max_per_hop=3).collect()
+    }
+    assert capped <= full

@@ -108,6 +108,32 @@ def test_attach_payload_meta(payloads):
     assert out[3].payload_md5 is None
 
 
+def test_payload_kind_webm_text_matches_oracle(spark):
+    """The webm magic \\x1aE\\xdf\\xa3 IS valid UTF-8 (U+001A 'E' U+07E3),
+    so adversarial *text* can classify as webm — the engine and the DuckDB
+    oracle must agree on it (the oracle mirrors the prefix as
+    chr(26)||chr(69)||chr(2019))."""
+    import duckdb
+
+    from webgraph_ans_rs_spark.plans.oracles_pipeline import multimodal_meta_sql
+
+    s = chr(0x1A) + "E" + chr(0x7E3)
+    assert s.encode() == b"\x1aE\xdf\xa3"
+    rows = [(1, s + " tail"), (2, "GIF8abc"), (3, "RIFFxxxx"), (4, "plain")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    eng = {
+        r.doc_id: r.payload_kind
+        for r in attach_payload_meta(
+            df.select("doc_id", F.col("text").cast("binary").alias("payload"))
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    orc = {r[0]: r[3] for r in con.execute(multimodal_meta_sql()).fetchall()}
+    assert eng == orc == {1: "webm", 2: "gif", 3: "riff", 4: "unknown"}
+
+
 def test_decode_image_batches_deterministic(payloads):
     a = {r.key: (r.kind, r.width, r.height, tuple(r.features)) for r in decode_image_batches(payloads).collect()}
     b = {r.key: (r.kind, r.width, r.height, tuple(r.features)) for r in decode_image_batches(payloads).collect()}

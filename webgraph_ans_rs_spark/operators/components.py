@@ -135,6 +135,15 @@ def connected_components(
         if new_sig == sig:
             break
         sig = new_sig
+    else:
+        # the loop ran out of rounds before the edge-set signature reached a
+        # fixpoint: _star_labels over a non-star edge set can emit multiple
+        # rows per vertex and non-minimal labels — fail loudly, don't return
+        # silently-wrong components (large/small-star converges in
+        # O(log^2 n) rounds, so a realistic max_rounds never trips this)
+        raise RuntimeError(
+            f"connected_components: no convergence within max_rounds={max_rounds}"
+        )
     return _star_labels(e, verts)
 
 

@@ -120,7 +120,13 @@ def ngram_jaccard_pairs(
         if n_docs is None:
             n_docs = docs.count()
         max_df = max(MAX_SHINGLE_DF, n_docs // 1000)
-    sh = shingles(docs, id_col).persist()
+    # NOT persisted although scanned 3x: shingling is a narrow
+    # split+explode recompute from docs, while caching the exploded
+    # shingle set would hold ~|text|x1 extra bytes per doc in
+    # memory/disk — at web scale recompute is the cheaper side, and a
+    # persist here leaked (nothing could unpersist it after the lazy
+    # result escaped)
+    sh = shingles(docs, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # stop-shingle removal bounds the candidate join fan-out
     rare = sh.join(

@@ -229,10 +229,20 @@ def decode_gaps(adj_gaps: DataFrame, first_from_src: bool = True) -> DataFrame:
     return adj_gaps.select(*others, decoded.alias("dsts"))
 
 
-def dense_ids(verts: DataFrame, col: str = "vertex") -> DataFrame:
+def dense_ids(
+    verts: DataFrame, col: str = "vertex", num_partitions: int | None = None
+) -> DataFrame:
     """(vertex, dense_id) with dense_id = rank 0..N-1 in ascending ``col``
     order — the reference's dense node universe 0..N-1
     (/root/reference/src/ans/mod.rs:44) recovered from hashed ids.
+    ``num_partitions`` (e.g. LayoutPlan.shuffle_partitions from the stats
+    pass) sizes the range partitioning; defaults to the session setting.
+
+    NOTE: ranking by ``col`` only inherits crawl locality if ``col`` itself
+    is ordered like the crawl — rank URLs (lexicographic host order), not
+    their hashes, when the dense ids feed the gap-coded storage layout
+    (hash order is a random permutation that destroys gap locality;
+    measured in BENCH_r03 storage.locality).
 
     Scale shape: window-free global ranking. Range-partition + sort (one
     shuffle), materialize, collect the P per-partition counts (P rows, not
@@ -240,9 +250,13 @@ def dense_ids(verts: DataFrame, col: str = "vertex") -> DataFrame:
     partition — no single-partition global window, no driver-side data.
     Input values must be distinct (vertex ids are).
     """
+    rng = (
+        (lambda df: df.repartitionByRange(num_partitions, "vertex"))
+        if num_partitions
+        else (lambda df: df.repartitionByRange("vertex"))
+    )
     src = (
-        verts.select(F.col(col).alias("vertex"))
-        .repartitionByRange("vertex")
+        rng(verts.select(F.col(col).alias("vertex")))
         .sortWithinPartitions("vertex")
         .withColumn("_pid", F.spark_partition_id())
         # materialize so the counts action and the ranking action see the

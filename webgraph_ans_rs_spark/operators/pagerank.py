@@ -51,9 +51,6 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .degrees import outdegrees
-
-
 @dataclass
 class PageRankResult:
     ranks: DataFrame  # (vertex long, pr double)
@@ -150,7 +147,6 @@ def pagerank(
     t_setup = time.time()
     spark = edges.sparkSession
     n = verts.count()
-    deg = outdegrees(edges, verts)
     p = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     # Co-partitioning contract: csr is hash-partitioned on src with exactly
@@ -180,65 +176,91 @@ def pagerank(
         .repartition(p, "src")
         .persist()
     )
-    csr.count()
-    # zero-contribution seed row per vertex: folds the "apply" outer join
-    # into the gather shuffle (IEEE x+0.0 == x, so values are unchanged).
-    zeros = verts.select("vertex", F.lit(0.0).alias("c")).persist()
-    zeros.count()
-    # Loop-invariant: dangling vertex set (often empty for web graphs).
-    dangling_verts = deg.where(F.col("outdeg") == 0).select("vertex").persist()
-    has_dangling = dangling_verts.count() > 0
+    dangling_verts = None
+    zeros = None
+    # try/finally: a mid-loop failure must not leave AQE partition
+    # coalescing disabled for the whole session, nor leak the cached
+    # loop invariants
+    try:
+        csr.count()
+        # zero-contribution seed row per vertex: folds the "apply" outer
+        # join into the gather shuffle (IEEE x+0.0 == x keeps values
+        # unchanged).
+        zeros = verts.select("vertex", F.lit(0.0).alias("c")).persist()
+        zeros.count()
+        # Loop-invariant: dangling vertex set (often empty for web graphs)
+        # — derived from the already-cached CSR via anti join (a vertex
+        # with outdeg > 0 appears in >= 1 CSR row), NOT from a second full
+        # scan+aggregation of the edge table.
+        dangling_verts = verts.join(
+            csr.select(F.col("src").alias("vertex")), "vertex", "left_anti"
+        ).persist()
+        has_dangling = dangling_verts.count() > 0
 
-    start_iter = 0
-    ranks = verts.select("vertex", F.lit(1.0 / n).alias("pr"))
-    # resume fingerprint: a snapshot from a run with different damping or a
-    # different vertex universe must be rejected, not silently continued
-    ckpt_params = {"damping": damping, "n": n}
-    if checkpoint_manager is not None:
-        resumed = checkpoint_manager.latest_snapshot(job_id, params=ckpt_params)
-        if resumed is not None:
-            start_iter, ranks = resumed
-    ranks = ranks.repartition(p, "vertex").localCheckpoint(eager=True)
-    setup_sec = time.time() - t_setup
-    t_loop = time.time()
-
-    history: list[dict] = []
-    l1 = float("inf")
-    it = start_iter
-    for it in range(start_iter + 1, max_iter + 1):
-        t0 = time.time()
-        dangling = (
-            ranks.join(dangling_verts, "vertex", "left_semi")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-            .first()[0]
-            if has_dangling
-            else 0.0
-        )
-        base = (1.0 - damping) / n + damping * dangling / n
-        new_ranks = _superstep_frame(csr, ranks, zeros, base, damping)
-        last = it == max_iter
-        if last or it % truncate_every == 0 or tol is not None or checkpoint_manager:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-        if tol is not None:
-            l1 = (
-                new_ranks.join(ranks.withColumnRenamed("pr", "pr_old"), "vertex")
-                .agg(F.sum(F.abs(F.col("pr") - F.col("pr_old"))))
-                .first()[0]
-            )
-        ranks = new_ranks
-        wall_ms = int((time.time() - t0) * 1000)
-        history.append({"iteration": it, "l1_delta": l1, "wall_ms": wall_ms})
+        start_iter = 0
+        ranks = verts.select("vertex", F.lit(1.0 / n).alias("pr"))
+        # resume fingerprint: a snapshot from a run with different damping,
+        # a different vertex universe, or a DIFFERENT EDGE SET must be
+        # rejected, not silently continued (the reference's phases are
+        # per-compression-run artifacts, ans/mod.rs:62-68); edge signature
+        # = order-insensitive (count, hash-sum), same scheme as
+        # connected_components
+        ckpt_params = {"damping": damping, "n": n}
         if checkpoint_manager is not None:
-            checkpoint_manager.commit(
-                job_id, it, ranks, {"l1_delta": l1, "wall_ms": wall_ms}, params=ckpt_params
+            from .components import _edge_signature
+
+            en, esig = _edge_signature(edges)
+            ckpt_params.update({"edges_n": en, "edges_sig": str(esig)})
+            resumed = checkpoint_manager.latest_snapshot(job_id, params=ckpt_params)
+            if resumed is not None:
+                start_iter, ranks = resumed
+        ranks = ranks.repartition(p, "vertex").localCheckpoint(eager=True)
+        setup_sec = time.time() - t_setup
+        t_loop = time.time()
+
+        history: list[dict] = []
+        l1 = float("inf")
+        it = start_iter
+        for it in range(start_iter + 1, max_iter + 1):
+            t0 = time.time()
+            dangling = (
+                ranks.join(dangling_verts, "vertex", "left_semi")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+                .first()[0]
+                if has_dangling
+                else 0.0
             )
-        if tol is not None and l1 <= tol:
-            break
-    loop_sec = time.time() - t_loop
-    spark.conf.set(coalesce_key, coalesce_prev)
-    csr.unpersist()
-    zeros.unpersist()
-    dangling_verts.unpersist()
+            base = (1.0 - damping) / n + damping * dangling / n
+            new_ranks = _superstep_frame(csr, ranks, zeros, base, damping)
+            last = it == max_iter
+            # intermediate truncation bounds plan depth for long runs; on
+            # the final superstep the caller's action materializes anyway,
+            # so a mid-loop barrier right before it is pure overhead
+            if last or (it % truncate_every == 0 and max_iter - it > 1) or tol is not None or checkpoint_manager:
+                new_ranks = new_ranks.localCheckpoint(eager=True)
+            if tol is not None:
+                l1 = (
+                    new_ranks.join(ranks.withColumnRenamed("pr", "pr_old"), "vertex")
+                    .agg(F.sum(F.abs(F.col("pr") - F.col("pr_old"))))
+                    .first()[0]
+                )
+            ranks = new_ranks
+            wall_ms = int((time.time() - t0) * 1000)
+            history.append({"iteration": it, "l1_delta": l1, "wall_ms": wall_ms})
+            if checkpoint_manager is not None:
+                checkpoint_manager.commit(
+                    job_id, it, ranks, {"l1_delta": l1, "wall_ms": wall_ms}, params=ckpt_params
+                )
+            if tol is not None and l1 <= tol:
+                break
+        loop_sec = time.time() - t_loop
+    finally:
+        spark.conf.set(coalesce_key, coalesce_prev)
+        csr.unpersist()
+        if zeros is not None:
+            zeros.unpersist()
+        if dangling_verts is not None:
+            dangling_verts.unpersist()
     return PageRankResult(
         ranks=ranks,
         iterations=it,

@@ -43,8 +43,11 @@ def khop_neighbors(
     hops through the sampled edge set; hop = minimum hop count (seeds
     themselves excluded). One shuffle join per hop; frontiers stay
     per-seed so the output is the per-seed neighborhood a GNN batch loader
-    consumes."""
+    consumes. For k > 1 the sampled edge set is cached across hops (it is
+    scanned once per hop) and released once the result is materialized."""
     sampled = sample_edges(edges, pct).select("src", "dst")
+    if k > 1:
+        sampled = sampled.persist()
     frontier = seeds.select(F.col("seed"), F.col("seed").alias("v"))
     reached = None
     for hop in range(1, k + 1):
@@ -55,8 +58,85 @@ def khop_neighbors(
         )
         layer = frontier.select("seed", F.col("v").alias("vertex"), F.lit(hop).alias("hop"))
         reached = layer if reached is None else reached.unionAll(layer)
-    return (
+    out = (
         reached.where(F.col("vertex") != F.col("seed"))
         .groupBy("seed", "vertex")
         .agg(F.min("hop").cast("int").alias("hop"))
     )
+    if k > 1:
+        out = out.localCheckpoint(eager=True)
+        sampled.unpersist()
+    return out
+
+
+def _rank_hex(seed_col, v_col):
+    """Deterministic per-(seed, vertex) rank: md5 hex of 'seed|v' — a total
+    order both engines share (ties impossible: input strings are unique)."""
+    return F.md5(
+        F.concat_ws("|", seed_col.cast("string"), v_col.cast("string")).cast("binary")
+    )
+
+
+def _topk_per_seed(cand: DataFrame, k_cap: int, n_salts: int = 32) -> DataFrame:
+    """(seed, v) — the ``k_cap`` smallest (rank, v) rows per seed, via a
+    SALTED TWO-STAGE aggregation rather than a window: stage 1 takes the
+    per-(seed, salt) top-K (each partial is ≤ k_cap structs after the
+    slice), stage 2 merges ≤ n_salts·k_cap survivors per seed. Exact — the
+    global top-K is contained in the union of per-salt top-Ks — and no
+    single task ever sorts a hub seed's whole frontier (the reference's
+    analogous discipline is per-node bounded enumeration,
+    examples/bench_random_access.rs:28-41)."""
+    ranked = cand.select(
+        "seed", "v", F.struct(_rank_hex(F.col("seed"), F.col("v")).alias("rk"), F.col("v").alias("vv")).alias("kv")
+    ).withColumn("_salt", F.pmod(F.xxhash64("v"), F.lit(n_salts)))
+    stage1 = ranked.groupBy("seed", "_salt").agg(
+        F.slice(F.array_sort(F.collect_list("kv")), 1, k_cap).alias("top")
+    )
+    stage2 = (
+        stage1.select("seed", F.explode("top").alias("kv"))
+        .groupBy("seed")
+        .agg(F.slice(F.array_sort(F.collect_list("kv")), 1, k_cap).alias("top"))
+    )
+    return stage2.select("seed", F.explode("top").alias("kv")).select(
+        "seed", F.col("kv.vv").alias("v")
+    )
+
+
+def khop_neighbors_capped(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 2,
+    pct: int = 30,
+    max_per_hop: int = 8,
+) -> DataFrame:
+    """(seed, vertex, hop) — like ``khop_neighbors`` but each hop's frontier
+    is capped at ``max_per_hop`` vertices PER SEED, chosen deterministically
+    as the smallest md5('seed|v') ranks — the real GNN-loader shape
+    (GraphSAGE-style fixed fan-out): without the cap one hub neighbor pulls
+    its entire sampled adjacency into a single seed's frontier. The top-K
+    is an exact salted two-stage aggregation (no per-seed window sort).
+    Deterministic: a pure function of (edges, seeds, k, pct, max_per_hop),
+    so a SQL oracle regenerates it exactly."""
+    sampled = sample_edges(edges, pct).select("src", "dst")
+    if k > 1:
+        sampled = sampled.persist()
+    frontier = seeds.select(F.col("seed"), F.col("seed").alias("v"))
+    reached = None
+    for hop in range(1, k + 1):
+        cand = (
+            frontier.join(sampled, frontier["v"] == sampled["src"])
+            .select("seed", F.col("dst").alias("v"))
+            .dropDuplicates(["seed", "v"])
+        )
+        frontier = _topk_per_seed(cand, max_per_hop)
+        layer = frontier.select("seed", F.col("v").alias("vertex"), F.lit(hop).alias("hop"))
+        reached = layer if reached is None else reached.unionAll(layer)
+    out = (
+        reached.where(F.col("vertex") != F.col("seed"))
+        .groupBy("seed", "vertex")
+        .agg(F.min("hop").cast("int").alias("hop"))
+    )
+    if k > 1:
+        out = out.localCheckpoint(eager=True)
+        sampled.unpersist()
+    return out

@@ -127,6 +127,74 @@ def pagerank_sql(num_iter: int = 5, damping: float = _D, round_dp: int = 8) -> s
     return f"WITH {body}\nSELECT vertex, ROUND(pr, {round_dp}) AS pr FROM r{num_iter}"
 
 
+def pagerank_converged_sql(
+    max_iter: int = 35, damping: float = 0.5, tol: float = 1e-6, round_dp: int = 6
+) -> str:
+    """Convergence-mode PageRank oracle on the CLUSTERED graph: unroll
+    ``max_iter`` iterations plus an L1-delta CTE per iteration, then select
+    the ranks of the FIRST iteration whose delta <= tol — exactly the
+    engine's tol-loop stopping rule (operators/pagerank.py), including the
+    reported iteration count. Engine and oracle compute the L1 sum in
+    different float orders, but consecutive deltas differ by ~1/damping
+    (geometric convergence), so a ~1e-15 relative summation difference can
+    never flip the threshold comparison."""
+    one_minus_d = repr(1.0 - damping)
+    d = repr(damping)
+    n = "(SELECT CAST(COUNT(*) AS DOUBLE) FROM verts)"
+    # every r_i is referenced 4x (dm, s, delta, all_r); DuckDB inlines
+    # non-materialized CTEs per reference, which is exponential in the
+    # unroll depth -- MATERIALIZED keeps the oracle linear
+    ctes = [
+        _clustered_ctes(),
+        (
+            "od AS MATERIALIZED (SELECT v.vertex, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS outdeg,"
+            " CAST(1.0 AS DOUBLE) / COALESCE(c.cnt, 1) AS w"
+            " FROM verts v LEFT JOIN (SELECT src AS vertex, COUNT(*) AS cnt"
+            " FROM cedges GROUP BY 1) c USING (vertex))"
+        ),
+        f"r0 AS MATERIALIZED (SELECT vertex, CAST(1.0 AS DOUBLE) / {n} AS pr FROM verts)",
+    ]
+    for i in range(1, max_iter + 1):
+        p = i - 1
+        ctes.append(
+            f"dm{i} AS (SELECT COALESCE(SUM(r.pr), CAST(0.0 AS DOUBLE)) AS m"
+            f" FROM r{p} r JOIN od USING (vertex) WHERE od.outdeg = 0)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT e.dst AS vertex, SUM(r.pr * od.w) AS g"
+            f" FROM cedges e JOIN r{p} r ON r.vertex = e.src"
+            f" JOIN od ON od.vertex = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.vertex,"
+            f" (CAST({one_minus_d} AS DOUBLE) / {n}"
+            f" + CAST({d} AS DOUBLE) * (SELECT m FROM dm{i}) / {n})"
+            f" + CAST({d} AS DOUBLE) * COALESCE(s.g, CAST(0.0 AS DOUBLE)) AS pr"
+            f" FROM verts v LEFT JOIN s{i} s USING (vertex))"
+        )
+        ctes.append(
+            f"delta{i} AS (SELECT SUM(ABS(a.pr - b.pr)) AS d"
+            f" FROM r{i} a JOIN r{p} b USING (vertex))"
+        )
+    deltas = " UNION ALL ".join(
+        f"SELECT {i} AS it, (SELECT d FROM delta{i}) AS d" for i in range(1, max_iter + 1)
+    )
+    all_r = " UNION ALL ".join(
+        f"SELECT {i} AS it, vertex, pr FROM r{i}" for i in range(1, max_iter + 1)
+    )
+    ctes.append(f"deltas AS ({deltas})")
+    ctes.append(
+        f"conv AS (SELECT MIN(it) AS j FROM deltas WHERE d <= {repr(tol)})"
+    )
+    ctes.append(f"all_r AS ({all_r})")
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vertex, ROUND(pr, {round_dp}) AS pr,"
+        f" CAST(j AS BIGINT) AS iters FROM all_r, conv WHERE it = j"
+    )
+
+
 def connected_components_sql() -> str:
     """Exact reachability-based min label on the clustered graph (components
     are <= CLUSTER_GROUP nodes, so the closure is tiny)."""

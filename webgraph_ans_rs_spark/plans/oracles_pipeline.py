@@ -125,6 +125,51 @@ def khop_sql(edges_cte: str, seed_mod: int = 97, k: int = 2, pct: int = 30) -> s
     )
 
 
+def khop_capped_sql(
+    edges_cte: str,
+    seed_mod: int = 97,
+    k: int = 2,
+    pct: int = 30,
+    max_per_hop: int = 8,
+) -> str:
+    """Mirrors operators/sampling.py khop_neighbors_capped (k=2): per hop,
+    the frontier is the ``max_per_hop`` candidates with smallest
+    (md5('seed|v'), v) per seed. The engine computes the same top-K with a
+    salted two-stage aggregation; the oracle uses the window form — they
+    select identical rows because the salted merge is exact."""
+    assert k == 2, "oracle is unrolled for k=2"
+    b0 = (
+        f"((strpos('{_HEXD}', substr(h, 1, 1)) - 1) * 16"
+        f" + strpos('{_HEXD}', substr(h, 2, 1)) - 1)"
+    )
+
+    def topk(src_cte: str, out: str) -> str:
+        return (
+            f"{out} AS (SELECT seed, v FROM ("
+            f"SELECT seed, v, ROW_NUMBER() OVER (PARTITION BY seed"
+            f" ORDER BY md5(CAST(seed AS VARCHAR) || '|' || CAST(v AS VARCHAR)), v) AS rn"
+            f" FROM {src_cte}) WHERE rn <= {max_per_hop})"
+        )
+
+    return (
+        f"WITH edges AS ({edges_cte}),\n"
+        f"s AS (SELECT CAST(doc_id AS BIGINT) AS seed FROM documents"
+        f" WHERE doc_id % {seed_mod} = 0),\n"
+        "hs AS (SELECT src, dst,"
+        " md5(CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)) AS h FROM edges),\n"
+        f"samp AS (SELECT src, dst FROM hs WHERE {b0} % 100 < {pct}),\n"
+        "c1 AS (SELECT DISTINCT seed, dst AS v FROM s JOIN samp ON samp.src = s.seed),\n"
+        f"{topk('c1', 'f1')},\n"
+        "c2 AS (SELECT DISTINCT seed, samp.dst AS v FROM f1"
+        " JOIN samp ON samp.src = f1.v),\n"
+        f"{topk('c2', 'f2')},\n"
+        "u AS (SELECT seed, v, 1 AS hop FROM f1"
+        " UNION ALL SELECT seed, v, 2 AS hop FROM f2)\n"
+        "SELECT seed, v AS vertex, CAST(MIN(hop) AS INT) AS hop FROM u"
+        " WHERE v <> seed GROUP BY 1, 2"
+    )
+
+
 def _shingles_cte(n: int = NGRAM) -> str:
     return (
         "d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),\n"
@@ -226,20 +271,29 @@ def simhash_pairs_sql(hamming_k: int = SIMHASH_HAMMING_K, bits: int = SIMHASH_BI
     )
 
 
-def multimodal_meta_sql() -> str:
-    """payload = utf8 bytes of text; strlen() is byte length in DuckDB.
+def _kind_case() -> str:
+    """payload_kind CASE mirroring operators/multimodal.py MAGIC for every
+    magic a valid-UTF8 ``text`` column can express: the ASCII magics
+    ('GIF8' → gif, 'RIFF' → riff) AND the webm magic \\x1aE\\xdf\\xa3,
+    whose bytes are exactly the UTF-8 encoding of U+001A 'E' U+07E3 —
+    chr(26)||chr(69)||chr(2019) in DuckDB (character-based substr, 3 chars
+    = those 4 bytes). png (\\x89…) and jpeg (\\xff…) start with invalid
+    UTF-8 lead bytes, so 'unknown' is exact for them."""
+    webm = "chr(26) || chr(69) || chr(2019)"
+    return (
+        "CASE WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'"
+        " WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'"
+        f" WHEN substr(text, 1, 3) = {webm} THEN 'webm'"
+        " ELSE 'unknown' END"
+    )
 
-    payload_kind mirrors operators/multimodal.py MAGIC for the ASCII
-    magics ('GIF8' → gif, 'RIFF' → riff); the remaining magics start with
-    bytes that are invalid as the first byte of UTF-8 text, so they can
-    never match a valid-UTF8 ``text`` column and 'unknown' is exact.
-    """
+
+def multimodal_meta_sql() -> str:
+    """payload = utf8 bytes of text; strlen() is byte length in DuckDB."""
     return (
         "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS payload_len,"
         " md5(text) AS payload_md5,"
-        " CASE WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'"
-        " WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'"
-        " ELSE 'unknown' END AS payload_kind FROM documents"
+        f" {_kind_case()} AS payload_kind FROM documents"
     )
 
 
@@ -261,9 +315,7 @@ def decode_image_sql() -> str:
     excluded — float32 stringification is not portable across engines."""
     return (
         "WITH b AS (SELECT doc_id AS key, md5(text) AS h,"
-        " CASE WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'"
-        " WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'"
-        " ELSE 'unknown' END AS kind FROM documents)\n"
+        f" {_kind_case()} AS kind FROM documents)\n"
         "SELECT key, kind,"
         f" CAST(16 + {_md5_byte(0)} % 240 AS INT) AS width,"
         f" CAST(16 + {_md5_byte(1)} % 240 AS INT) AS height,"

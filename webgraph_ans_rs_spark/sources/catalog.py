@@ -38,14 +38,20 @@ class VersionedTable:
         taken — a crash can orphan at most one uuid-temp or snap dir, never
         wedge future commits by id reuse.
         """
+        import shutil
         import uuid
 
         tmp_data = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}")
-        df.write.mode("errorifexists").parquet(tmp_data)
-        rows = self.spark.read.parquet(tmp_data).count()
-        sid = self._next_id()
-        data_dir = os.path.join(self.dir, f"snap-{sid:06d}")
-        os.rename(tmp_data, data_dir)
+        try:
+            df.write.mode("errorifexists").parquet(tmp_data)
+            rows = self.spark.read.parquet(tmp_data).count()
+            sid = self._next_id()
+            data_dir = os.path.join(self.dir, f"snap-{sid:06d}")
+            os.rename(tmp_data, data_dir)
+        except BaseException:
+            # a failed write must not accumulate orphaned .tmp dirs forever
+            shutil.rmtree(tmp_data, ignore_errors=True)
+            raise
         manifest = {
             "snapshot_id": sid,
             "data_dir": data_dir,
