@@ -38,10 +38,12 @@ def shuffle_bytes_from_eventlog(log_dir: str) -> tuple[int, int]:
     """(shuffle_write_bytes, shuffle_read_bytes) summed over all completed
     stages in every app log under log_dir."""
     wr = rd = 0
-    for name in os.listdir(log_dir):
-        path = os.path.join(log_dir, name)
-        if not os.path.isfile(path):
-            continue
+    paths = []
+    for root, _dirs, files in os.walk(log_dir):
+        paths.extend(
+            os.path.join(root, n) for n in files if n.startswith("events")
+        )
+    for path in paths:
         with open(path) as f:
             for line in f:
                 if '"SparkListenerStageCompleted"' not in line:
@@ -69,6 +71,7 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{log_dir}",
+            "spark.eventLog.compress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

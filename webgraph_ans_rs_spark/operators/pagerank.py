@@ -122,6 +122,7 @@ def pagerank(
     truncate_every: int = 3,
     shuffle_partitions: int | None = None,
     max_segment: int | None = None,
+    dense_relabel: bool = False,
 ) -> PageRankResult:
     """Exact power iteration. ``tol`` is the L1-delta convergence threshold;
     pass ``tol=None`` to run exactly ``max_iter`` supersteps (the
@@ -143,6 +144,17 @@ def pagerank(
     hub's entire fan-out (graph_build.build_csr_segments). Float summation
     order changes (segments gather independently), so the fixed-iteration
     oracle mode keeps max_segment=None; results agree to ~1e-15 per vertex.
+
+    ``dense_relabel=True`` relabels the graph to dense 0..N-1 ids before
+    the loop and maps the ranks back at the end. Measured
+    (tools/bench_exchange_bytes.py, local[8], 8.6M edges): the identical
+    loop over full-entropy xxhash64 ids runs ~2× SLOWER than over dense
+    ids — hashed keys are incompressible through the gather exchange and
+    hash-aggregate worse — so for production hashed-id graphs two relabel
+    joins amortized over the supersteps are a clear win (and exactly the
+    reference's design: its node universe is dense, src/ans/mod.rs:44).
+    Off for the oracle queries only because re-partitioned sums change
+    float association order (~1e-16 per vertex).
     """
     t_setup = time.time()
     spark = edges.sparkSession
@@ -160,6 +172,25 @@ def pagerank(
     coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
     coalesce_prev = spark.conf.get(coalesce_key, "true")
     spark.conf.set(coalesce_key, "false")
+
+    ids = None
+    if dense_relabel:
+        from .graph_build import dense_ids
+
+        ids = dense_ids(verts, num_partitions=p).persist()
+        ids.count()
+        edges = (
+            edges.join(
+                ids.select(F.col("vertex").alias("src"), F.col("dense_id").alias("s")),
+                "src",
+            )
+            .join(
+                ids.select(F.col("vertex").alias("dst"), F.col("dense_id").alias("d")),
+                "dst",
+            )
+            .select(F.col("s").alias("src"), F.col("d").alias("dst"))
+        )
+        verts = ids.select(F.col("dense_id").alias("vertex"))
 
     if max_segment is not None:
         from .graph_build import build_csr_segments
@@ -254,6 +285,13 @@ def pagerank(
             if tol is not None and l1 <= tol:
                 break
         loop_sec = time.time() - t_loop
+        if ids is not None:
+            # map dense ids back to the caller's vertex ids; materialize
+            # before the id map's cache is released below
+            ranks = ranks.join(
+                ids.select(F.col("vertex").alias("orig"), F.col("dense_id").alias("vertex")),
+                "vertex",
+            ).select(F.col("orig").alias("vertex"), "pr").localCheckpoint(eager=True)
     finally:
         spark.conf.set(coalesce_key, coalesce_prev)
         csr.unpersist()
@@ -261,6 +299,8 @@ def pagerank(
             zeros.unpersist()
         if dangling_verts is not None:
             dangling_verts.unpersist()
+        if ids is not None:
+            ids.unpersist()
     return PageRankResult(
         ranks=ranks,
         iterations=it,
