@@ -39,8 +39,8 @@ def main() -> None:
         "--dense-relabel",
         action="store_true",
         help="relabel to dense 0..N-1 ids for the loop and map ranks back"
-        " (recommended for xxhash64-id graphs: 29%% fewer exchange bytes,"
-        " ~1.85x faster supersteps — BENCH_EXCHANGE.json)",
+        " (for xxhash64-id graphs: 29%% fewer bytes through the gather"
+        " exchange per superstep — BENCH_EXCHANGE.json)",
     )
     args = ap.parse_args()
 

@@ -46,7 +46,7 @@ def test_salted_topk_equals_window_topk(spark):
 
 def test_pagerank_dense_relabel_matches_plain(spark):
     """dense_relabel=True (the production loop layout for hashed-id graphs,
-    BENCH_EXCHANGE.json: 29% fewer exchange bytes, 1.85× faster loop) must
+    BENCH_EXCHANGE.json: 29% fewer bytes through the gather exchange) must
     return the same ranks on the same vertex ids — allclose 1e-12 (float
     association order differs across the relabel's repartitioning)."""
     from webgraph_ans_rs_spark.operators.pagerank import pagerank

@@ -12,8 +12,13 @@ on low-entropy keys: dense 0..V ids are mostly zero bytes, xxhash64 ids are
 incompressible. This tool quantifies exactly that, from the event log
 (SparkListenerStageCompleted shuffle write metrics), alongside loop time.
 
-Usage: python tools/bench_exchange_bytes.py [cpus] [vertices]
-Prints one JSON line {"variants": {"dense": {...}, "hashed": {...}}}.
+Usage: python tools/bench_exchange_bytes.py [cpus] [vertices] [variant]
+``variant`` ∈ {dense, hashed, both}; default both. Running both in ONE
+process contaminates the second variant's LOOP TIME (two cached graphs +
+accumulated heap) — byte counters are unaffected, but for timing run each
+variant in its own process, interleaved (see BENCH_EXCHANGE.json
+protocol note).
+Prints one JSON line {"variants": {...}}.
 """
 
 from __future__ import annotations
@@ -63,6 +68,7 @@ def shuffle_bytes_from_eventlog(log_dir: str) -> tuple[int, int]:
 def main() -> None:
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     v = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    which = sys.argv[3] if len(sys.argv) > 3 else "both"
     out: dict = {"cpus": cpus, "vertices": v, "supersteps": SUPERSTEPS, "variants": {}}
     log_dir = tempfile.mkdtemp(prefix="sparkeventlog-")
     spark = get_spark(
@@ -87,7 +93,8 @@ def main() -> None:
             F.xxhash64(F.col("dst").cast("string")).alias("dst"),
         ),
     }
-    prev_wr = prev_rd = 0
+    if which != "both":
+        variants = {which: variants[which]}
     for name, edges in variants.items():
         edges = edges.persist()
         edges.count()
@@ -110,7 +117,6 @@ def main() -> None:
         }
         verts.unpersist()
         edges.unpersist()
-        prev_wr, prev_rd = wr1, rd1
     print(json.dumps(out))
 
 

@@ -95,7 +95,8 @@ def main() -> None:
             " pagerank timing is the superstep loop only (setup excluded)"
         ),
     }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    out_name = os.environ.get("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALING.json")
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))
 

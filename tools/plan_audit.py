@@ -207,6 +207,27 @@ def main() -> int:
         "partial_min_by" in lp_plan and "Window" not in lp_plan,
     )
 
+    # 12. gap codec is a pure column transform: encode_gaps adds ZERO
+    # exchanges over its input plan (the storage layout must not cost a
+    # shuffle at 100 TB — it rides the CSR build's existing one)
+    from webgraph_ans_rs_spark.operators.graph_build import encode_gaps
+
+    def count_in(df, name: str) -> int:
+        return count_nodes(df._jdf.queryExecution().executedPlan(), name)
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        adj_plan = build_csr_adjacency(edges, num_buckets=8)
+        n_before = count_in(adj_plan, "Exchange")
+        n_after = count_in(encode_gaps(adj_plan, int_gaps=True), "Exchange")
+        check(
+            "gap-codec: encode_gaps adds no exchange",
+            n_after == n_before,
+            f"(before={n_before} after={n_after})",
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
     failed = [c for c in checks if not c[1]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan properties hold")
     return 1 if failed else 0

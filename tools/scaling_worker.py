@@ -34,6 +34,9 @@ SUPERSTEPS = 5
 V = int(os.environ.get("SPARK_GRAFT_BENCH_VERTICES", "2000000"))
 PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "40000"))
 DO_EXTRACT = os.environ.get("SPARK_GRAFT_WORKER_EXTRACT", "1") == "1"
+# HASHED=1: run the loop over full-entropy xxhash64 ids instead of dense —
+# the id-entropy/bandwidth-sensitivity experiment (BENCH_EXCHANGE.json)
+HASHED = os.environ.get("SPARK_GRAFT_WORKER_HASHED", "0") == "1"
 
 
 def main() -> None:
@@ -41,9 +44,24 @@ def main() -> None:
     spark = get_spark("scaling-worker", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    edges = synthetic_edges(spark, V).persist()
+    edges = synthetic_edges(spark, V)
+    if HASHED:
+        edges = edges.select(
+            F.xxhash64(F.col("src").cast("string")).alias("src"),
+            F.xxhash64(F.col("dst").cast("string")).alias("dst"),
+        )
+    edges = edges.persist()
     n_edges = edges.count()
-    verts = spark.range(0, V).select(F.col("id").alias("vertex"))
+    if HASHED:
+        verts = (
+            edges.select(F.col("src").alias("vertex"))
+            .union(edges.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .persist()
+        )
+        verts.count()
+    else:
+        verts = spark.range(0, V).select(F.col("id").alias("vertex"))
 
     pagerank(edges, verts, max_iter=2, tol=None)  # warmup (JIT, workers)
     loops = []

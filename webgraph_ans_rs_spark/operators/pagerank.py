@@ -147,14 +147,16 @@ def pagerank(
 
     ``dense_relabel=True`` relabels the graph to dense 0..N-1 ids before
     the loop and maps the ranks back at the end. Measured
-    (tools/bench_exchange_bytes.py, local[8], 8.6M edges): the identical
-    loop over full-entropy xxhash64 ids runs ~2× SLOWER than over dense
-    ids — hashed keys are incompressible through the gather exchange and
-    hash-aggregate worse — so for production hashed-id graphs two relabel
-    joins amortized over the supersteps are a clear win (and exactly the
-    reference's design: its node universe is dense, src/ans/mod.rs:44).
-    Off for the oracle queries only because re-partitioned sums change
-    float association order (~1e-16 per vertex).
+    (BENCH_EXCHANGE.json, local[8], 8.6M edges): dense ids move 29% fewer
+    bytes per edge per superstep through the gather exchange than
+    full-entropy xxhash64 ids (lz4 compresses low-entropy keys; narrowing
+    the column types is a no-op — UnsafeRow slots are 8 B and sum buffers
+    double). At sandbox scale loop TIME is within host noise; the bytes
+    reduction is the quantity that matters once the exchange saturates
+    bandwidth/network at cluster scale — and a dense universe is exactly
+    the reference's design (src/ans/mod.rs:44). Off for the oracle
+    queries only because re-partitioned sums change float association
+    order (~1e-16 per vertex).
     """
     t_setup = time.time()
     spark = edges.sparkSession
