@@ -61,6 +61,15 @@ def main() -> None:
     # on a warm process, script.py:123-142)
     spark.range(0, 1_000_000).agg(F.sum("id")).collect()
     entry_mod.queries()["outdegree"](spark, sf_dir).count()
+    # compile the superstep plan shapes once on a toy graph so the timed
+    # pagerank queries measure execution, not first-use codegen (the
+    # reference's warm-process protocol, script.py:123-142; cold-codegen
+    # noise was the bulk of the r02 pagerank_5iter regression)
+    _wedges = synthetic_edges(spark, 2000, num_partitions=4)
+    _wverts = _wedges.select(F.col("src").alias("vertex")).union(
+        _wedges.select(F.col("dst").alias("vertex"))
+    ).distinct()
+    pagerank(_wedges, _wverts, max_iter=2, tol=None)
 
     queries: dict[str, float] = {}
     qs = entry_mod.queries()
@@ -179,12 +188,12 @@ def main() -> None:
         spark.range(0, BENCH_VERTICES)
         .select(F.col("id").alias("vertex"))
     )
-    # min-of-2: identical jobs vary up to ±50% across host windows on this
+    # min-of-3: identical jobs vary up to ±4× across host windows on this
     # box (BASELINE.md protocol notes); interference is one-sided so the
     # minimum is the best estimator of uncontended runtime
     best = None
     pr_sec = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         res = pagerank(edges, verts, max_iter=PR_SUPERSTEPS, tol=None)
         res.ranks.count()

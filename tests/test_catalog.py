@@ -124,6 +124,46 @@ def test_partition_pruned_snapshot_read(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(hour" in plan or "hour#" in plan
 
 
+def test_expire_snapshots_keeps_newest(spark, tmp_path):
+    import os
+
+    t = VersionedTable(spark, str(tmp_path), "ranks")
+    sids = [
+        t.commit(spark.createDataFrame([(i, float(i))], "vertex long, pr double"))
+        for i in range(4)
+    ]
+    expired = t.expire_snapshots(keep_last=2)
+    assert expired == sids[:2]
+    assert t.snapshots() == sids[2:]
+    # survivors still readable, expired data gone from disk
+    assert t.read(sids[3]).count() == 1 and t.read(sids[2]).count() == 1
+    assert not any(
+        n == f"snap-{sids[0]:06d}" for n in os.listdir(t.dir)
+    )
+    # committing after expiry never reuses an expired id
+    s_new = t.commit(spark.createDataFrame([(9, 9.0)], "vertex long, pr double"))
+    assert s_new > sids[-1]
+
+
+def test_lp_checkpoint_rejects_changed_edges(spark, tmp_path):
+    """LP resume must reject snapshots from a different edge set or argmax
+    variant (the fingerprint gap ADVICE flagged for pagerank, applied
+    uniformly)."""
+    import pytest as _pytest
+
+    from webgraph_ans_rs_spark.checkpoint import CheckpointManager
+    from webgraph_ans_rs_spark.operators.labelprop import label_propagation
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(3)], "vertex long")
+    cm = CheckpointManager(spark, str(tmp_path))
+    label_propagation(edges, verts, num_iter=2, checkpoint_manager=cm, job_id="lp")
+    other = spark.createDataFrame([(0, 2)], "src long, dst long")
+    cm2 = CheckpointManager(spark, str(tmp_path))
+    with _pytest.raises(ValueError, match="params mismatch"):
+        label_propagation(other, verts, num_iter=2, checkpoint_manager=cm2, job_id="lp")
+
+
 def test_checkpoint_rejects_mismatched_params(spark, tmp_path):
     import pytest as _pytest
 

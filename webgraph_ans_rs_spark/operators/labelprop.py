@@ -66,8 +66,15 @@ def label_propagation(
 
     labels = verts.select("vertex", F.col("vertex").alias("label"))
     start = 0
+    ckpt_params = None
     if checkpoint_manager is not None:
-        resumed = checkpoint_manager.latest_snapshot(job_id)
+        # resume fingerprint (same scheme as CC/PageRank): a snapshot from
+        # a different edge set or argmax variant must be rejected
+        from .components import _edge_signature
+
+        en, esig = _edge_signature(und)
+        ckpt_params = {"edges_n": en, "edges_sig": str(esig), "argmax": argmax}
+        resumed = checkpoint_manager.latest_snapshot(job_id, params=ckpt_params)
         if resumed is not None:
             start, labels = resumed
     labels = labels.localCheckpoint(eager=True)
@@ -85,6 +92,6 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
         if checkpoint_manager is not None:
-            checkpoint_manager.commit(job_id, it, labels, {})
+            checkpoint_manager.commit(job_id, it, labels, {}, params=ckpt_params)
     und.unpersist()
     return labels

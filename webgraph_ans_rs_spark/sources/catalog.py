@@ -95,3 +95,21 @@ class VersionedTable:
                 except ValueError:
                     continue
         return (max(taken) + 1) if taken else 1
+
+    # -- maintenance -------------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Delete all but the newest ``keep_last`` snapshots (manifest
+        first, then data, so a crash mid-expiry leaves an orphaned data
+        dir — which ``_next_id`` already tolerates — never a manifest
+        pointing at deleted data). Returns the expired ids. The Iceberg
+        maintenance analogue (`expireSnapshots`); long-running iterative
+        jobs need it or per-superstep commits accumulate unboundedly."""
+        import shutil
+
+        sids = self.snapshots()
+        expired = sids[:-keep_last] if keep_last > 0 else sids
+        for sid in expired:
+            data_dir = self.manifest(sid)["data_dir"]
+            os.remove(os.path.join(self.dir, f"manifest-{sid:06d}.json"))
+            shutil.rmtree(data_dir, ignore_errors=True)
+        return expired
