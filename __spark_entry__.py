@@ -391,6 +391,50 @@ def _q_frame_sample(spark, sf_dir):
     return frame_sample(_payload_docs(spark, sf_dir))
 
 
+def _q_predecessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transposed adjacency (WebGraph keeps the transpose alongside every
+    graph for backlink queries — the `*-t` datasets of the reference's
+    benches): in-neighbor lists as canonical sorted strings."""
+    from webgraph_ans_rs_spark.operators.transform import transpose
+
+    edges, _ = _graph(spark, sf_dir)
+    adj = build_csr_adjacency(transpose(edges))
+    return adj.select(
+        F.col("src").alias("vertex"),
+        F.array_join(F.transform("dsts", lambda x: x.cast("string")), ",").alias("preds"),
+    )
+
+
+def _q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized loop-free graph (the WebGraph `simplify` transform) as
+    canonical successor strings."""
+    from webgraph_ans_rs_spark.operators.transform import simplify
+
+    edges, _ = _graph(spark, sf_dir)
+    adj = build_csr_adjacency(simplify(edges))
+    return adj.select(
+        F.col("src").alias("vertex"),
+        F.array_join(F.transform("dsts", lambda x: x.cast("string")), ",").alias("succs"),
+    )
+
+
+def _q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph quotient: page arcs collapsed by documents.source on
+    both endpoints with link weights."""
+    from webgraph_ans_rs_spark.operators.transform import quotient_graph
+
+    edges, _ = _graph(spark, sf_dir)
+    groups = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("vertex"), F.col("source").alias("grp")
+    )
+    q = quotient_graph(edges, groups)
+    return q.select(
+        F.col("src_grp").alias("src_host"),
+        F.col("dst_grp").alias("dst_host"),
+        "links",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_count": _q_token_count,
@@ -430,6 +474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_2iter": _q_label_propagation,
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
+        "predecessors": _q_predecessors,
+        "simplify": _q_simplify,
+        "host_graph": _q_host_graph,
     }
 
 
@@ -485,4 +532,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation_2iter": oracles.label_propagation_sql(LP_ITERS),
         "triangle_count": oracles.triangle_count_sql(),
         "triangles_per_vertex": oracles.triangles_per_vertex_sql(),
+        "predecessors": oracles.predecessors_sql(),
+        "simplify": oracles.simplify_sql(),
+        "host_graph": oracles.host_graph_sql(),
     }

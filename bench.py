@@ -155,35 +155,61 @@ def main() -> None:
         from webgraph_ans_rs_spark.operators.graph_build import (
             build_csr_adjacency,
             encode_gaps,
+            encode_intervals,
         )
-        from webgraph_ans_rs_spark.plans.bench_graph import synthetic_edges_local
+        from webgraph_ans_rs_spark.plans.bench_graph import (
+            synthetic_edges_crawl,
+            synthetic_edges_local,
+        )
         from webgraph_ans_rs_spark.plans.storage import dir_bytes
 
+        def _measure_layouts(block, edges_df, variants):
+            n = edges_df.count()
+            storage[block] = {"num_edges": n, "layouts": {}}
+            for nm, df, opts in variants:
+                path = f"{tmp}/{block}-{nm}"
+                w = (
+                    df.repartition(8, "src")
+                    .sortWithinPartitions("src")
+                    .write.mode("overwrite")
+                    .option("compression", "zstd")
+                )
+                for k, v in opts.items():
+                    w = w.option(k, v)
+                w.parquet(path)
+                b = dir_bytes(spark, path)
+                storage[block]["layouts"][f"{nm}-zstd"] = {
+                    "bytes": b,
+                    "bits_per_link": round(8.0 * b / n, 3),
+                }
+
+        v2 = {"parquet.writer.version": "v2"}
         ledges = synthetic_edges_local(spark, BENCH_VERTICES // 4).persist()
-        ln = ledges.count()
         ladj = build_csr_adjacency(ledges, 8)
-        lgaps = (
-            encode_gaps(ladj, int_gaps=True)
-            .repartition(8, "src")
-            .sortWithinPartitions("src")
+        _measure_layouts(
+            "locality",
+            ledges,
+            (
+                ("csr_dense_ids", ladj, {}),
+                ("csr_dense_gaps", encode_gaps(ladj, int_gaps=True), v2),
+            ),
         )
-        ldense = ladj.repartition(8, "src").sortWithinPartitions("src")
-        storage["locality"] = {"num_edges": ln, "layouts": {}}
-        for nm, df, opts in (
-            ("csr_dense_ids", ldense, {}),
-            ("csr_dense_gaps", lgaps, {"parquet.writer.version": "v2"}),
-        ):
-            path = f"{tmp}/loc-{nm}"
-            w = df.write.mode("overwrite").option("compression", "zstd")
-            for k, v in opts.items():
-                w = w.option(k, v)
-            w.parquet(path)
-            b = dir_bytes(spark, path)
-            storage["locality"]["layouts"][f"{nm}-zstd"] = {
-                "bytes": b,
-                "bits_per_link": round(8.0 * b / ln, 3),
-            }
         ledges.unpersist()
+        # consecutivity block: nav/sibling link runs on top of offset
+        # locality — probes whether BV-style interval codes pay above
+        # parquet v2 (measured: they don't; DELTA_BINARY_PACKED already
+        # stores gap-1 runs at ~0 bits — BASELINE.md "Interval coding")
+        cedges = synthetic_edges_crawl(spark, BENCH_VERTICES // 4).persist()
+        cadj = build_csr_adjacency(cedges, 8)
+        _measure_layouts(
+            "consecutivity",
+            cedges,
+            (
+                ("csr_dense_gaps", encode_gaps(cadj, int_gaps=True), v2),
+                ("csr_intervals", encode_intervals(cadj), v2),
+            ),
+        )
+        cedges.unpersist()
     verts = (
         spark.range(0, BENCH_VERTICES)
         .select(F.col("id").alias("vertex"))

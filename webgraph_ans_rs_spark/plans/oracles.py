@@ -258,3 +258,37 @@ def triangles_per_vertex_sql() -> str:
         f"SELECT v.vertex, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_tri FROM verts v"
         f" LEFT JOIN (SELECT vertex, COUNT(*) AS n FROM parts GROUP BY 1) p USING (vertex)"
     )
+
+
+def predecessors_sql() -> str:
+    """Transposed adjacency: in-neighbors as canonical sorted strings."""
+    return (
+        f"WITH {_graph_ctes()}\n"
+        f"SELECT dst AS vertex,"
+        f" string_agg(CAST(src AS VARCHAR), ',' ORDER BY src) AS preds\n"
+        f"FROM edges GROUP BY dst"
+    )
+
+
+def simplify_sql() -> str:
+    """Symmetrized loop-free graph (the `und` CTE IS the simplify
+    transform) as canonical successor strings."""
+    return (
+        f"WITH {_graph_ctes()}\n"
+        f"SELECT src AS vertex,"
+        f" string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS succs\n"
+        f"FROM und GROUP BY src"
+    )
+
+
+def host_graph_sql() -> str:
+    """Quotient graph over documents.source (the host-graph construction):
+    page-level arcs collapsed to (src_host, dst_host, links)."""
+    return (
+        f"WITH {_graph_ctes()},\n"
+        f"m AS (SELECT CAST(doc_id AS BIGINT) AS v, source FROM documents)\n"
+        f"SELECT ms.source AS src_host, md.source AS dst_host,"
+        f" COUNT(*) AS links\n"
+        f"FROM edges e JOIN m ms ON e.src = ms.v JOIN m md ON e.dst = md.v\n"
+        f"GROUP BY 1, 2"
+    )
