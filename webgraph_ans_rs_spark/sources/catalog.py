@@ -96,20 +96,190 @@ class VersionedTable:
                     continue
         return (max(taken) + 1) if taken else 1
 
+    # -- partitioned / copy-on-write commits --------------------------------
+    #
+    # Iceberg's bucket(B, src) partition transform + REPLACE PARTITIONS,
+    # re-expressed on plain parquet: data lands in bucket=K leaf dirs, the
+    # manifest maps partition value → leaf dir, and an incremental commit
+    # writes ONLY the touched buckets while inheriting every untouched
+    # leaf from the base snapshot (file-level snapshot sharing — the point
+    # of Iceberg's COW model: a 0.1% recrawl delta over a 100 TB adjacency
+    # rewrites 0.1% of the files, not the table). `expire_snapshots` is
+    # reference-counted accordingly.
+
+    def commit_partitioned(
+        self, df: DataFrame, partition_col: str = "bucket",
+        properties: dict | None = None,
+    ) -> int:
+        """Full snapshot in bucket-partitioned layout. ``df`` must carry an
+        integer ``partition_col``; rows land under ``bucket=K/`` leaves."""
+        import shutil
+        import uuid
+
+        tmp_data = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}")
+        try:
+            df.write.mode("errorifexists").partitionBy(partition_col).parquet(tmp_data)
+            sid = self._next_id()
+            data_dir = os.path.join(self.dir, f"snap-{sid:06d}")
+            os.rename(tmp_data, data_dir)
+        except BaseException:
+            shutil.rmtree(tmp_data, ignore_errors=True)
+            raise
+        parts = self._leaf_dirs(data_dir, partition_col)
+        rows = self.spark.read.parquet(data_dir).count()
+        return self._write_manifest(
+            sid, data_dir, df.schema, rows, properties,
+            extra={"partition_col": partition_col, "partitions": parts},
+        )
+
+    def commit_replace_partitions(
+        self,
+        df_partial: DataFrame,
+        replaced: list[int],
+        partition_col: str = "bucket",
+        base_snapshot: int | None = None,
+        properties: dict | None = None,
+    ) -> int:
+        """Copy-on-write commit: ``df_partial`` holds the complete new
+        contents of the ``replaced`` partition values; every other
+        partition is inherited from ``base_snapshot`` (default: latest)
+        WITHOUT copying bytes. Iceberg `REPLACE PARTITIONS` semantics."""
+        import shutil
+        import uuid
+
+        base = self.manifest(base_snapshot)
+        if "partitions" not in base:
+            raise ValueError("base snapshot is not partitioned")
+        if base.get("partition_col") != partition_col:
+            raise ValueError("partition_col mismatch with base snapshot")
+        tmp_data = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}")
+        try:
+            df_partial.write.mode("errorifexists").partitionBy(partition_col).parquet(
+                tmp_data
+            )
+            sid = self._next_id()
+            data_dir = os.path.join(self.dir, f"snap-{sid:06d}")
+            os.rename(tmp_data, data_dir)
+        except BaseException:
+            shutil.rmtree(tmp_data, ignore_errors=True)
+            raise
+        new_parts = self._leaf_dirs(data_dir, partition_col)
+        stray = set(new_parts) - {str(k) for k in replaced}
+        if stray:
+            raise ValueError(
+                f"df_partial contains partitions not in `replaced`: {sorted(stray)}"
+            )
+        parts = dict(base["partitions"])
+        for k in replaced:  # a replaced bucket may legitimately become empty
+            parts.pop(str(k), None)
+        parts.update(new_parts)
+        rows = base["rows"]  # recount only what changed
+        for k in replaced:
+            old = base["partitions"].get(str(k))
+            if old is not None:
+                rows -= self.spark.read.parquet(old).count()
+        if new_parts:
+            rows += self.spark.read.parquet(data_dir).count()
+        return self._write_manifest(
+            sid, data_dir, df_partial.schema, rows, properties,
+            extra={
+                "partition_col": partition_col,
+                "partitions": parts,
+                "base_snapshot": base["snapshot_id"],
+                "replaced": sorted(int(k) for k in replaced),
+            },
+        )
+
+    def read_partitioned(self, snapshot_id: int | None = None) -> DataFrame:
+        """Union of the snapshot's leaf dirs with the partition column
+        restored. Leafs inherited across snapshots read from their
+        original files — zero-copy time travel."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        m = self.manifest(snapshot_id)
+        col = m["partition_col"]
+        parts = [
+            self.spark.read.parquet(path).withColumn(col, F.lit(int(k)))
+            for k, path in sorted(m["partitions"].items(), key=lambda kv: int(kv[0]))
+        ]
+        if not parts:
+            raise ValueError("snapshot has no partitions")
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def read_partition(self, value: int, snapshot_id: int | None = None) -> DataFrame:
+        """One bucket, pruned by construction: only that leaf's files are
+        ever listed or scanned — the partition-pruning point-lookup path."""
+        from pyspark.sql import functions as F
+
+        m = self.manifest(snapshot_id)
+        path = m["partitions"].get(str(value))
+        if path is None:
+            return self.spark.read.parquet(
+                next(iter(m["partitions"].values()))
+            ).limit(0).withColumn(m["partition_col"], F.lit(int(value)))
+        return self.spark.read.parquet(path).withColumn(
+            m["partition_col"], F.lit(int(value))
+        )
+
+    def _leaf_dirs(self, data_dir: str, partition_col: str) -> dict[str, str]:
+        prefix = f"{partition_col}="
+        out = {}
+        for name in os.listdir(data_dir):
+            if name.startswith(prefix):
+                out[name[len(prefix):]] = os.path.join(data_dir, name)
+        return out
+
+    def _write_manifest(
+        self, sid: int, data_dir: str, schema, rows: int,
+        properties: dict | None, extra: dict | None = None,
+    ) -> int:
+        manifest = {
+            "snapshot_id": sid,
+            "data_dir": data_dir,
+            "schema": schema.jsonValue(),
+            "rows": rows,
+            "committed_at": time.time(),
+            "properties": properties or {},
+        }
+        manifest.update(extra or {})
+        tmp = os.path.join(self.dir, f".manifest-{sid:06d}.tmp")
+        final = os.path.join(self.dir, f"manifest-{sid:06d}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, final)  # atomic commit point
+        return sid
+
     # -- maintenance -------------------------------------------------------
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
-        """Delete all but the newest ``keep_last`` snapshots (manifest
-        first, then data, so a crash mid-expiry leaves an orphaned data
-        dir — which ``_next_id`` already tolerates — never a manifest
-        pointing at deleted data). Returns the expired ids. The Iceberg
-        maintenance analogue (`expireSnapshots`); long-running iterative
-        jobs need it or per-superstep commits accumulate unboundedly."""
+        """Delete all but the newest ``keep_last`` snapshots, REFERENCE
+        COUNTED: a snap dir whose leaves are still inherited by a kept
+        COW snapshot survives (manifests removed first, then unreferenced
+        roots — a crash mid-expiry leaves an orphaned data dir, which
+        ``_next_id`` already tolerates, never a manifest pointing at
+        deleted data). Returns the expired ids. The Iceberg maintenance
+        analogue (`expireSnapshots`); long-running iterative jobs need it
+        or per-superstep commits accumulate unboundedly."""
         import shutil
 
         sids = self.snapshots()
         expired = sids[:-keep_last] if keep_last > 0 else sids
+        kept = [s for s in sids if s not in expired]
+        referenced: set[str] = set()
+        for sid in kept:
+            m = self.manifest(sid)
+            referenced.add(m["data_dir"])
+            for path in (m.get("partitions") or {}).values():
+                referenced.add(path)
         for sid in expired:
-            data_dir = self.manifest(sid)["data_dir"]
             os.remove(os.path.join(self.dir, f"manifest-{sid:06d}.json"))
-            shutil.rmtree(data_dir, ignore_errors=True)
+        for name in os.listdir(self.dir):
+            if not name.startswith("snap-"):
+                continue
+            root = os.path.join(self.dir, name)
+            if not any(
+                r == root or r.startswith(root + os.sep) for r in referenced
+            ):
+                shutil.rmtree(root, ignore_errors=True)
         return expired
