@@ -90,7 +90,11 @@ def test_removed_srcs_disappear(spark, tmp_path):
     base = _base_pairs()
     commit_adjacency_partitioned(t, _edges(spark, base), B)
     removed = spark.createDataFrame([(7,), (23,)], "src long")
-    sid = merge_adjacency(spark, t, _edges(spark, [(1, 990)]), removed_srcs=removed)
+    # source 7 is BOTH re-crawled and removed: removal must win (no
+    # resurrection through the delta edges)
+    sid = merge_adjacency(
+        spark, t, _edges(spark, [(1, 990), (7, 991)]), removed_srcs=removed
+    )
     got = t.read_partitioned(sid)
     assert got.where(F.col("src").isin(7, 23)).count() == 0
     kept = [(s, d) for s, d in base if s not in (1, 7, 23)] + [(1, 990)]
@@ -103,12 +107,34 @@ def test_expire_is_reference_counted(spark, tmp_path):
     t = VersionedTable(spark, str(tmp_path), "adj")
     s1 = commit_adjacency_partitioned(t, _edges(spark, _base_pairs()), B)
     s2 = merge_adjacency(spark, t, _edges(spark, [(5, 900)]))
+    replaced = t.manifest(s2)["replaced"]
     expired = t.expire_snapshots(keep_last=1)
     assert expired == [s1]
-    # the base snapshot's data dir must SURVIVE: s2 inherits its leaves
-    assert os.path.isdir(os.path.join(str(tmp_path), "adj", f"snap-{s1:06d}"))
+    # the base snapshot's dir must SURVIVE (s2 inherits leaves) — but its
+    # SUPERSEDED leaves must be reclaimed (leaf-granular refcount)
+    root1 = os.path.join(str(tmp_path), "adj", f"snap-{s1:06d}")
+    assert os.path.isdir(root1)
+    for k in range(B):
+        leaf = os.path.join(root1, f"bucket={k}")
+        if k in replaced:
+            assert not os.path.exists(leaf), f"dead leaf bucket={k} not reclaimed"
+        else:
+            assert os.path.isdir(leaf)
     # and the merged view still reads completely
     assert t.read_partitioned(s2).count() == t.manifest(s2)["rows"]
+
+
+def test_expire_never_touches_inflight_commit_dirs(spark, tmp_path):
+    """A renamed-but-unmanifested snap dir (in-flight commit between rename
+    and manifest write) must survive expiry untouched."""
+    t = VersionedTable(spark, str(tmp_path), "adj")
+    commit_adjacency_partitioned(t, _edges(spark, _base_pairs()), B)
+    s2 = commit_adjacency_partitioned(t, _edges(spark, _base_pairs()), B)
+    inflight = os.path.join(str(tmp_path), "adj", "snap-000099")
+    os.makedirs(os.path.join(inflight, "bucket=0"))
+    t.expire_snapshots(keep_last=1)
+    assert os.path.isdir(os.path.join(inflight, "bucket=0"))
+    assert t.snapshots() == [s2]
 
 
 def test_point_lookup_reads_one_leaf(spark, tmp_path):
@@ -123,3 +149,44 @@ def test_point_lookup_reads_one_leaf(spark, tmp_path):
     assert files, "leaf scan lists no files"
     leaf = m["partitions"][k]
     assert all(f.removeprefix("file://").startswith(leaf) for f in files)
+
+
+def test_commit_rejects_null_bucket_at_commit_time(spark, tmp_path):
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path), "adj")
+    df = spark.createDataFrame(
+        [(1, [2], 1, 0), (2, [3], 1, None)],
+        "src long, dsts array<long>, outdeg int, bucket int",
+    )
+    with pytest.raises(ValueError, match="non-integer partition"):
+        t.commit_partitioned(df)
+    # the failed commit must not be readable or claim a snapshot
+    assert t.snapshots() == []
+
+
+def test_read_partition_clear_error_on_empty_snapshot(spark, tmp_path):
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path), "adj")
+    empty = spark.createDataFrame(
+        [], "src long, dsts array<long>, outdeg int, bucket int"
+    )
+    t.commit_partitioned(empty)
+    with pytest.raises(ValueError, match="no partitions"):
+        t.read_partition(0)
+
+
+def test_cow_commit_inherits_base_properties(spark, tmp_path):
+    """A raw commit_replace_partitions without explicit properties must not
+    lose num_buckets — otherwise the next merge_adjacency would crash."""
+    t = VersionedTable(spark, str(tmp_path), "adj")
+    commit_adjacency_partitioned(t, _edges(spark, _base_pairs()), B)
+    m1 = t.manifest()
+    k = next(iter(m1["partitions"]))
+    partial = t.read_partition(int(k))
+    sid = t.commit_replace_partitions(partial, replaced=[int(k)])
+    assert t.manifest(sid)["properties"]["num_buckets"] == B
+    # and a follow-up merge over the COW snapshot works
+    sid2 = merge_adjacency(spark, t, _edges(spark, [(5, 900)]))
+    assert t.manifest(sid2)["base_snapshot"] == sid

@@ -58,33 +58,39 @@ def merge_adjacency(
     CSR build shuffle only the delta, never the full table.
     """
     num_buckets = int(table.manifest(base_snapshot)["properties"]["num_buckets"])
-    changed = new_edges.select(F.col("src"))
     if removed_srcs is not None:
-        changed = changed.unionByName(removed_srcs.select("src"))
+        # removal wins over re-crawl: a page both re-crawled and then
+        # deleted in the same batch must NOT be resurrected by its delta
+        # edges — mirror a full rebuild over (edges minus removed pages)
+        removed = removed_srcs.select("src").distinct()
+        new_edges = new_edges.join(removed, "src", "left_anti")
+        changed = new_edges.select("src").unionByName(removed)
+    else:
+        changed = new_edges.select("src")
     changed = changed.distinct().persist()
-    touched = sorted(
-        r.b
-        for r in changed.select(
-            bucket_of("src", num_buckets).alias("b")
-        ).distinct().collect()
-    )
-    if not touched:
+    try:
+        touched = sorted(
+            r.b
+            for r in changed.select(
+                bucket_of("src", num_buckets).alias("b")
+            ).distinct().collect()
+        )
+        if not touched:
+            return table.manifest(base_snapshot)["snapshot_id"]
+        old = [table.read_partition(k, base_snapshot) for k in touched]
+        kept_old = old[0]
+        for df in old[1:]:
+            kept_old = kept_old.unionByName(df)
+        kept_old = kept_old.join(changed, "src", "left_anti")
+        # delta-sized parallelism: no explicit repartition — a 50M-edge
+        # delta confined to one bucket must still build its CSR across
+        # the cluster (partitionBy handles the leaf layout at write time)
+        new_csr = build_csr_adjacency(new_edges).withColumn(
+            "bucket", bucket_of("src", num_buckets)
+        )
+        partial = kept_old.unionByName(new_csr.select(*kept_old.columns))
+        return table.commit_replace_partitions(
+            partial, replaced=touched, base_snapshot=base_snapshot
+        )
+    finally:
         changed.unpersist()
-        return table.manifest(base_snapshot)["snapshot_id"]
-    old = [table.read_partition(k, base_snapshot) for k in touched]
-    kept_old = old[0]
-    for df in old[1:]:
-        kept_old = kept_old.unionByName(df)
-    kept_old = kept_old.join(changed, "src", "left_anti")
-    new_csr = build_csr_adjacency(new_edges, len(touched)).withColumn(
-        "bucket", bucket_of("src", num_buckets)
-    )
-    partial = kept_old.unionByName(new_csr.select(*kept_old.columns))
-    sid = table.commit_replace_partitions(
-        partial,
-        replaced=touched,
-        base_snapshot=base_snapshot,
-        properties={"num_buckets": num_buckets},
-    )
-    changed.unpersist()
-    return sid

@@ -126,7 +126,7 @@ class VersionedTable:
             shutil.rmtree(tmp_data, ignore_errors=True)
             raise
         parts = self._leaf_dirs(data_dir, partition_col)
-        rows = self.spark.read.parquet(data_dir).count()
+        rows = self.spark.read.parquet(data_dir).count() if parts else 0
         return self._write_manifest(
             sid, data_dir, df.schema, rows, properties,
             extra={"partition_col": partition_col, "partitions": parts},
@@ -173,15 +173,21 @@ class VersionedTable:
         for k in replaced:  # a replaced bucket may legitimately become empty
             parts.pop(str(k), None)
         parts.update(new_parts)
-        rows = base["rows"]  # recount only what changed
-        for k in replaced:
-            old = base["partitions"].get(str(k))
-            if old is not None:
-                rows -= self.spark.read.parquet(old).count()
+        rows = base["rows"]  # recount only what changed, ONE job per side
+        old_dirs = [
+            base["partitions"][str(k)]
+            for k in replaced
+            if str(k) in base["partitions"]
+        ]
+        if old_dirs:
+            rows -= self.spark.read.parquet(*old_dirs).count()
         if new_parts:
             rows += self.spark.read.parquet(data_dir).count()
+        # COW snapshots inherit base properties (num_buckets etc.) so a
+        # chain of merges never loses the table's layout parameters
+        props = {**base.get("properties", {}), **(properties or {})}
         return self._write_manifest(
-            sid, data_dir, df_partial.schema, rows, properties,
+            sid, data_dir, df_partial.schema, rows, props,
             extra={
                 "partition_col": partition_col,
                 "partitions": parts,
@@ -216,6 +222,11 @@ class VersionedTable:
         m = self.manifest(snapshot_id)
         path = m["partitions"].get(str(value))
         if path is None:
+            if not m["partitions"]:
+                raise ValueError(
+                    f"snapshot {m['snapshot_id']} has no partitions — "
+                    "was it committed from an empty DataFrame?"
+                )
             return self.spark.read.parquet(
                 next(iter(m["partitions"].values()))
             ).limit(0).withColumn(m["partition_col"], F.lit(int(value)))
@@ -228,7 +239,16 @@ class VersionedTable:
         out = {}
         for name in os.listdir(data_dir):
             if name.startswith(prefix):
-                out[name[len(prefix):]] = os.path.join(data_dir, name)
+                key = name[len(prefix):]
+                try:
+                    int(key)  # reject at COMMIT time, not first read
+                except ValueError:
+                    raise ValueError(
+                        f"non-integer partition value {key!r} (null "
+                        f"{partition_col}? rows must carry a non-null int "
+                        "bucket — __HIVE_DEFAULT_PARTITION__ is not allowed)"
+                    ) from None
+                out[key] = os.path.join(data_dir, name)
         return out
 
     def _write_manifest(
@@ -254,13 +274,16 @@ class VersionedTable:
     # -- maintenance -------------------------------------------------------
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Delete all but the newest ``keep_last`` snapshots, REFERENCE
-        COUNTED: a snap dir whose leaves are still inherited by a kept
-        COW snapshot survives (manifests removed first, then unreferenced
-        roots — a crash mid-expiry leaves an orphaned data dir, which
-        ``_next_id`` already tolerates, never a manifest pointing at
-        deleted data). Returns the expired ids. The Iceberg maintenance
-        analogue (`expireSnapshots`); long-running iterative jobs need it
-        or per-superstep commits accumulate unboundedly."""
+        COUNTED at LEAF granularity: only data dirs that belonged to an
+        expired manifest are candidates (an in-flight commit's just-renamed
+        snap dir — data present, manifest not yet written — is never
+        touched), a dir whose leaves are still inherited by a kept COW
+        snapshot keeps exactly those leaves, and its superseded leaves are
+        reclaimed individually (the Iceberg file-level COW model: daily
+        merges must shrink dead buckets, not pin whole old snapshots).
+        Manifests are removed first, so a crash mid-expiry leaves orphaned
+        data (tolerated by ``_next_id``), never a manifest pointing at
+        deleted data. Returns the expired ids."""
         import shutil
 
         sids = self.snapshots()
@@ -272,14 +295,18 @@ class VersionedTable:
             referenced.add(m["data_dir"])
             for path in (m.get("partitions") or {}).values():
                 referenced.add(path)
+        candidates = {self.manifest(sid)["data_dir"] for sid in expired}
         for sid in expired:
             os.remove(os.path.join(self.dir, f"manifest-{sid:06d}.json"))
-        for name in os.listdir(self.dir):
-            if not name.startswith("snap-"):
+        for root in candidates:
+            if root in referenced or not os.path.isdir(root):
                 continue
-            root = os.path.join(self.dir, name)
-            if not any(
-                r == root or r.startswith(root + os.sep) for r in referenced
-            ):
+            live = [r for r in referenced if r.startswith(root + os.sep)]
+            if not live:
                 shutil.rmtree(root, ignore_errors=True)
+                continue
+            for name in os.listdir(root):  # partial: drop dead leaves only
+                child = os.path.join(root, name)
+                if os.path.isdir(child) and child not in referenced:
+                    shutil.rmtree(child, ignore_errors=True)
         return expired
