@@ -435,6 +435,33 @@ def _q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NF_MAX_T = 4
+HB_P = 6
+
+
+def _q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact neighbourhood function NF(t) on the clustered graph (small
+    components keep the pair sets and the unrolled reachability oracle
+    cheap) — the calibration twin of `hyperball`."""
+    from webgraph_ans_rs_spark.operators.neighborhood import (
+        neighborhood_function_exact,
+    )
+
+    edges, verts = _clustered(spark, sf_dir)
+    return neighborhood_function_exact(edges, verts, NF_MAX_T)
+
+
+def _q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall (Boldi–Vigna): HLL-register NF estimation — approximate
+    but fully deterministic (multiplicative hash + integer bit-length
+    rho), so the oracle recomputes the identical registers and estimates
+    from the exact reachability sets."""
+    from webgraph_ans_rs_spark.operators.neighborhood import hyperball
+
+    edges, verts = _clustered(spark, sf_dir)
+    return hyperball(edges, verts, NF_MAX_T, p=HB_P)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_count": _q_token_count,
@@ -477,6 +504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predecessors": _q_predecessors,
         "simplify": _q_simplify,
         "host_graph": _q_host_graph,
+        "neighborhood_function": _q_neighborhood_function,
+        "hyperball": _q_hyperball,
     }
 
 
@@ -535,4 +564,6 @@ def oracle_sql() -> dict[str, str]:
         "predecessors": oracles.predecessors_sql(),
         "simplify": oracles.simplify_sql(),
         "host_graph": oracles.host_graph_sql(),
+        "neighborhood_function": oracles.neighborhood_function_sql(NF_MAX_T),
+        "hyperball": oracles.hyperball_sql(NF_MAX_T, HB_P),
     }

@@ -1,0 +1,65 @@
+"""Neighbourhood function: exact BFS-ball counting vs HyperBall (HLL).
+
+HyperBall is the WebGraph companion algorithm (Boldi–Vigna) over exactly
+the successor lists the reference compresses. The driver gate hash-checks
+both against DuckDB (the estimates are deterministic); these tests pin
+the operator-level contracts: exact NF on hand graphs, HLL accuracy
+bounds, and monotonicity.
+"""
+
+from __future__ import annotations
+
+from webgraph_ans_rs_spark.operators.neighborhood import (
+    hyperball,
+    neighborhood_function_exact,
+)
+
+from tests.conftest import seeded_random_graph
+
+
+def _nf(df, col="nf"):
+    return {r.t: r[col] for r in df.collect()}
+
+
+def test_exact_nf_on_chain(spark):
+    # 0→1→2→3: balls grow one hop per t until the end of the chain
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(4)], "vertex long")
+    got = _nf(neighborhood_function_exact(edges, verts, 3))
+    assert got == {0: 4, 1: 7, 2: 9, 3: 10}
+
+
+def test_exact_nf_on_cycle_saturates(spark):
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(3)], "vertex long")
+    got = _nf(neighborhood_function_exact(edges, verts, 4))
+    assert got == {0: 3, 1: 6, 2: 9, 3: 9, 4: 9}
+
+
+def test_hyperball_tracks_exact_within_hll_error(spark):
+    """p=6 → 64 registers; in the small-ball (linear counting) regime the
+    estimate should sit well inside the asymptotic 1.04/√m ≈ 13%; the
+    chain fixture measured ≤4%, assert a 10% ceiling for headroom."""
+    edges = spark.createDataFrame(
+        [(g * 20 + i, g * 20 + i + 1) for g in range(25) for i in range(19)],
+        "src long, dst long",
+    )
+    verts = spark.range(0, 500).selectExpr("id as vertex")
+    ex = _nf(neighborhood_function_exact(edges, verts, 4))
+    hb = _nf(hyperball(edges, verts, 4, p=6), col="nf_est")
+    for t in ex:
+        assert abs(hb[t] - ex[t]) / ex[t] < 0.10, (t, ex[t], hb[t])
+
+
+def test_hyperball_seeded_graph(spark):
+    edges, verts, _, _ = seeded_random_graph(spark)
+    ex = _nf(neighborhood_function_exact(edges, verts, 3))
+    hb = _nf(hyperball(edges, verts, 3, p=6), col="nf_est")
+    for t in ex:
+        assert abs(hb[t] - ex[t]) / ex[t] < 0.15, (t, ex[t], hb[t])
+    # NF estimates are monotone in t (registers only ever grow)
+    assert all(hb[t] <= hb[t + 1] + 1e-9 for t in range(3))

@@ -1,0 +1,172 @@
+"""Neighbourhood function: exact BFS-ball counting and HyperBall (HLL).
+
+The neighbourhood function NF(t) = #{(v,u) : dist(v,u) ≤ t} is THE
+companion statistic of the WebGraph toolchain (Boldi–Vigna HyperBall runs
+over exactly the BVGraph successor lists the reference compresses; the
+reference's graphs ship with .properties recording it). Two forms:
+
+* ``neighborhood_function_exact`` — materializes the reachability pairs
+  per round (distinct-join loop). Exact, but pair-set size is O(sum of
+  ball sizes): fine for calibration and small graphs, quadratic blowup on
+  well-connected ones — that blowup is the entire reason HyperBall
+  exists.
+
+* ``hyperball`` — per-vertex HyperLogLog registers, max-merged along OUT
+  edges each superstep. m = 2^p registers are laid out as m COLUMNS, so
+  a superstep is one edges⋈regs join + groupBy(src).agg(max per column):
+  all-JVM, map-side partial max (hub fan-in collapses before the
+  shuffle), two bounded exchanges per superstep (gather by dst, regroup
+  by src; pre-partitioning a transposed CSR by dst would drop it to one,
+  the PageRank-loop discipline — left as the scale optimization knob).
+  Estimates use the standard HLL harmonic mean with
+  the linear-counting small-range correction (dominant here: at small t
+  most balls hold a handful of vertices). Column layout is comfortable to
+  p≈8 (256 agg expressions); beyond that, registers should be packed into
+  an array with an explode-based merge — noted, not needed at default
+  p.
+
+  The register hash is a double multiplicative hash in pure int64
+  arithmetic and rho comes from ``length(bin(w))`` (exact integer bit
+  length, never float log2) — DETERMINISTIC and engine-portable, so
+  despite being an approximation the whole computation is reproducible in
+  DuckDB and the driver gate hash-compares it (the same trick as
+  ``lsh_topk``). The harmonic sums are sums of ≤ m exact powers of two
+  (all partial sums fit the 53-bit mantissa — exact in ANY order); the
+  only float freedom left is libm ``ln``/division ulps and the NF sum
+  order, ~1e-15 relative, far below the 4dp rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 32-bit xor-shift/multiply mix (lowbias32-style finalizer with constants
+# chosen so every 2^32 · C intermediate stays < 2^63 — int64-safe in Spark
+# ANSI and DuckDB; pure multiplicative hashing alone left registers of
+# near-consecutive ids correlated and HyperBall 29% off at t=3 — the mix
+# brings it back inside the HLL envelope, pytest-calibrated)
+HB_A1, HB_B1 = 2654435761, 7  # Knuth constant (public)
+HB_C1 = 0x7FEB352D  # 2146121005: (2^32−1)·C1 < 2^63−1
+HB_C2 = 0x735A2D97  # 1935289751
+HB_M32 = 1 << 32
+
+
+def neighborhood_function_exact(
+    edges: DataFrame, verts: DataFrame, max_t: int
+) -> DataFrame:
+    """(t, nf) for t = 0..max_t, nf = exact # ordered pairs (v, u) with a
+    directed path v→u of length ≤ t (pairs include (v, v))."""
+    reach = verts.select(
+        F.col("vertex").alias("v"), F.col("vertex").alias("u")
+    ).localCheckpoint(eager=True)
+    rows = [(0, reach.count())]
+    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("nu"))
+    for t in range(1, max_t + 1):
+        reach = (
+            reach.join(e, "u")
+            .select("v", F.col("nu").alias("u"))
+            .unionByName(reach)
+            .dropDuplicates(["v", "u"])
+            .localCheckpoint(eager=True)
+        )
+        rows.append((t, reach.count()))
+    spark = edges.sparkSession
+    return spark.createDataFrame(rows, "t int, nf bigint")
+
+
+def _rho_and_idx(vcol, p: int):
+    """HLL mapping of a vertex id: h = 32-bit double multiplicative hash;
+    register index = h mod 2^p, rho = 1 + #leading zeros of the remaining
+    32−p bits, computed EXACTLY as (33−p) − length(bin(w)) — integer bit
+    length, no float log anywhere."""
+    x = F.pmod(vcol.cast("long") * F.lit(HB_A1) + F.lit(HB_B1), F.lit(HB_M32))
+    x = x.bitwiseXOR(F.shiftright(x, 16))
+    x = F.pmod(x * F.lit(HB_C1), F.lit(HB_M32))
+    x = x.bitwiseXOR(F.shiftright(x, 15))
+    x = F.pmod(x * F.lit(HB_C2), F.lit(HB_M32))
+    h = x.bitwiseXOR(F.shiftright(x, 16))
+    idx = F.pmod(h, F.lit(1 << p)).cast("int")
+    w = F.shiftright(h, p)  # h ≥ 0 → plain shift is the unsigned one
+    maxr = 32 - p + 1
+    rho = F.when(w == 0, F.lit(maxr)).otherwise(
+        (F.lit(33 - p) - F.length(F.bin(w))).cast("int")
+    )
+    return idx, rho
+
+
+def _estimate(m: int, reg_cols: list[str]):
+    """Standard HLL estimate from register COLUMNS: harmonic mean with the
+    linear-counting small-range correction. Exact powers of two in the
+    harmonic sum keep cross-engine float drift at rounding level."""
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m)
+    )
+    harm = None
+    zeros = None
+    for c in reg_cols:
+        term = F.pow(F.lit(2.0), -F.col(c).cast("double"))
+        harm = term if harm is None else harm + term
+        z = F.when(F.col(c) == 0, 1).otherwise(0)
+        zeros = z if zeros is None else zeros + z
+    raw = F.lit(alpha * m * m) / harm
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    return F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lin).otherwise(raw)
+
+
+def hyperball(
+    edges: DataFrame, verts: DataFrame, max_t: int, p: int = 6
+) -> DataFrame:
+    """(t, nf_est) for t = 0..max_t — HyperBall estimate of the
+    neighbourhood function, rounded 4dp. One exchange per superstep."""
+    m = 1 << p
+    reg_cols = [f"r{j}" for j in range(m)]
+    idx, rho = _rho_and_idx(F.col("vertex"), p)
+    regs = verts.select(
+        "vertex",
+        *[
+            F.when(idx == j, rho).otherwise(0).cast("int").alias(c)
+            for j, c in enumerate(reg_cols)
+        ],
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    rows = [(0, _nf_of(regs, m, reg_cols))]
+    e = edges.select("src", "dst")
+    for t in range(1, max_t + 1):
+        # v's ball(t) = v's ball(t-1) ∪ successors' balls(t-1):
+        # gather successor registers keyed by src, max-merge per column,
+        # then merge with own registers (left join: sinks keep their own)
+        gathered = (
+            e.join(regs.withColumnRenamed("vertex", "dst"), "dst")
+            .groupBy("src")
+            .agg(*[F.max(c).alias(c) for c in reg_cols])
+            .withColumnRenamed("src", "vertex")
+        )
+        g = gathered.select(
+            "vertex", *[F.col(c).alias(f"g_{c}") for c in reg_cols]
+        )
+        regs = (
+            regs.join(g, "vertex", "left")
+            .select(
+                "vertex",
+                *[
+                    F.greatest(F.col(c), F.coalesce(F.col(f"g_{c}"), F.lit(0)))
+                    .alias(c)
+                    for c in reg_cols
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+        rows.append((t, _nf_of(regs, m, reg_cols)))
+    return spark.createDataFrame(rows, "t int, nf_est double")
+
+
+def _nf_of(regs: DataFrame, m: int, reg_cols: list[str]) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    est = _estimate(m, reg_cols)
+    row = regs.agg(F.sum(est).alias("nf")).collect()[0]
+    # HALF_UP to match DuckDB's ROUND (python round() is banker's)
+    return float(
+        Decimal(repr(float(row.nf))).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+    )

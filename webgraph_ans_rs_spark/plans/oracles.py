@@ -292,3 +292,76 @@ def host_graph_sql() -> str:
         f"FROM edges e JOIN m ms ON e.src = ms.v JOIN m md ON e.dst = md.v\n"
         f"GROUP BY 1, 2"
     )
+
+
+def _reach_ctes(max_t: int) -> str:
+    """r0..r{max_t}: ordered pairs (v, u) with a directed path of length
+    ≤ t over the clustered graph. MATERIALIZED — DuckDB inlines CTEs per
+    reference and each r_k is referenced twice."""
+    out = ["r0 AS MATERIALIZED (SELECT vertex AS v, vertex AS u FROM verts)"]
+    for t in range(1, max_t + 1):
+        out.append(
+            f"r{t} AS MATERIALIZED (SELECT DISTINCT v, u FROM ("
+            f"SELECT r.v AS v, e.dst AS u FROM r{t-1} r"
+            f" JOIN cedges e ON r.u = e.src"
+            f" UNION ALL SELECT v, u FROM r{t-1}) x)"
+        )
+    return ",\n".join(out)
+
+
+def neighborhood_function_sql(max_t: int = 4) -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT {t} AS t, COUNT(*) AS nf FROM r{t}" for t in range(max_t + 1)
+    )
+    return f"WITH {_clustered_ctes()},\n{_reach_ctes(max_t)}\n{unions}"
+
+
+def hyperball_sql(max_t: int = 4, p: int = 6) -> str:
+    """HyperBall reproduced EXACTLY in SQL from the exact reachability
+    sets: same multiplicative hash, same integer bit-length rho, same
+    harmonic-mean + linear-counting estimate, same 4dp rounding. The
+    harmonic sums are sums of ≤ m exact powers of two (order-independent
+    in IEEE double), so the only cross-engine float freedom is libm ulps
+    — far below the rounding. Constants mirror operators/neighborhood.py
+    (HB_A1/HB_B1/HB_A2/HB_B2, alpha for m)."""
+    from ..operators.neighborhood import HB_A1, HB_B1, HB_C1, HB_C2
+
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    alpha_mm = repr(alpha * m * m)
+    maxr = 32 - p + 1
+    # the engine's exact 32-bit xor-shift/multiply mix, all-BIGINT
+    # (shiftright of a non-negative == // 2^k; constants imported so the
+    # two sides cannot drift)
+    hs = (
+        "hs AS MATERIALIZED (SELECT u,"
+        f" h % {m} AS j,"
+        f" CASE WHEN h // {m} = 0 THEN {maxr}"
+        f" ELSE {33 - p} - length(bin(h // {m})) END AS rho"
+        " FROM (SELECT u, xor(x4, x4 // 65536) AS h FROM ("
+        f"  SELECT u, (x3 * {HB_C2}) % 4294967296 AS x4 FROM ("
+        "   SELECT u, xor(x2, x2 // 32768) AS x3 FROM ("
+        f"    SELECT u, (x1 * {HB_C1}) % 4294967296 AS x2 FROM ("
+        "     SELECT u, xor(h0, h0 // 65536) AS x1 FROM ("
+        f"      SELECT vertex AS u, (CAST(vertex AS BIGINT) * {HB_A1}"
+        f" + {HB_B1}) % 4294967296 AS h0 FROM verts"
+        ") q0) q1) q2) q3) q4) q5)"
+    )
+    parts = []
+    for t in range(max_t + 1):
+        parts.append(
+            f"SELECT {t} AS t, ROUND(SUM(est), 4) AS nf_est FROM ("
+            f" SELECT v, CASE WHEN raw <= {repr(2.5 * m)} AND zeros > 0"
+            f"  THEN {float(m)} * ln({float(m)} / zeros) ELSE raw END AS est"
+            f" FROM ("
+            f"  SELECT v, {alpha_mm} / harm AS raw, zeros FROM ("
+            f"   SELECT rg.v AS v,"
+            f"    ({m} - COUNT(*)) * 1.0 + SUM(pow(2.0, -reg)) AS harm,"
+            f"    {m} - COUNT(*) AS zeros"
+            f"   FROM (SELECT rr.v AS v, s.j, MAX(s.rho) AS reg"
+            f"         FROM r{t} rr JOIN hs s ON rr.u = s.u"
+            f"         GROUP BY rr.v, s.j) rg"
+            f"   GROUP BY rg.v) h0) h1) h2"
+        )
+    unions = " UNION ALL ".join(parts)
+    return f"WITH {_clustered_ctes()},\n{_reach_ctes(max_t)},\n{hs}\n{unions}"
