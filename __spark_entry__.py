@@ -462,6 +462,16 @@ def _q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperball(edges, verts, NF_MAX_T, p=HB_P)
 
 
+def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality via HyperBall registers — the
+    algorithm's flagship application; per-vertex, left-to-right
+    accumulation so the oracle replays identical IEEE adds."""
+    from webgraph_ans_rs_spark.operators.neighborhood import harmonic_centrality
+
+    edges, verts = _clustered(spark, sf_dir)
+    return harmonic_centrality(edges, verts, NF_MAX_T, p=HB_P)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_count": _q_token_count,
@@ -506,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": _q_host_graph,
         "neighborhood_function": _q_neighborhood_function,
         "hyperball": _q_hyperball,
+        "harmonic_centrality": _q_harmonic_centrality,
     }
 
 
@@ -566,4 +577,5 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": oracles.host_graph_sql(),
         "neighborhood_function": oracles.neighborhood_function_sql(NF_MAX_T),
         "hyperball": oracles.hyperball_sql(NF_MAX_T, HB_P),
+        "harmonic_centrality": oracles.harmonic_centrality_sql(NF_MAX_T, HB_P),
     }

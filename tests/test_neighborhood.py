@@ -63,3 +63,19 @@ def test_hyperball_seeded_graph(spark):
         assert abs(hb[t] - ex[t]) / ex[t] < 0.15, (t, ex[t], hb[t])
     # NF estimates are monotone in t (registers only ever grow)
     assert all(hb[t] <= hb[t + 1] + 1e-9 for t in range(3))
+
+
+def test_harmonic_centrality_tracks_exact_on_chain(spark):
+    """On 0→1→2→3 the exact truncated harmonic centrality is
+    hc(0)=1+1/2+1/3, hc(1)=1+1/2, hc(2)=1, hc(3)=0 — the HLL estimate at
+    p=6 with singleton/tiny balls sits in the linear-counting regime and
+    must land within 12% (and exactly 0 for the sink)."""
+    from webgraph_ans_rs_spark.operators.neighborhood import harmonic_centrality
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(4)], "vertex long")
+    got = {r.vertex: r.hc for r in harmonic_centrality(edges, verts, 3).collect()}
+    exact = {0: 1 + 0.5 + 1 / 3, 1: 1.5, 2: 1.0, 3: 0.0}
+    assert got[3] == 0.0
+    for v in (0, 1, 2):
+        assert abs(got[v] - exact[v]) / exact[v] < 0.12, (v, exact[v], got[v])

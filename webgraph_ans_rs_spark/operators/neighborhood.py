@@ -114,51 +114,97 @@ def _estimate(m: int, reg_cols: list[str]):
     return F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lin).otherwise(raw)
 
 
-def hyperball(
-    edges: DataFrame, verts: DataFrame, max_t: int, p: int = 6
-) -> DataFrame:
-    """(t, nf_est) for t = 0..max_t — HyperBall estimate of the
-    neighbourhood function, rounded 4dp. One exchange per superstep."""
-    m = 1 << p
-    reg_cols = [f"r{j}" for j in range(m)]
+def _init_regs(verts: DataFrame, p: int, reg_cols: list[str]) -> DataFrame:
     idx, rho = _rho_and_idx(F.col("vertex"), p)
-    regs = verts.select(
+    return verts.select(
         "vertex",
         *[
             F.when(idx == j, rho).otherwise(0).cast("int").alias(c)
             for j, c in enumerate(reg_cols)
         ],
     ).localCheckpoint(eager=True)
+
+
+def _superstep(e: DataFrame, regs: DataFrame, reg_cols: list[str]) -> DataFrame:
+    """v's ball(t) = v's ball(t-1) ∪ successors' balls(t-1): gather
+    successor registers keyed by src, max-merge per column, then merge
+    with own registers (left join: sinks keep their own)."""
+    gathered = (
+        e.join(regs.withColumnRenamed("vertex", "dst"), "dst")
+        .groupBy("src")
+        .agg(*[F.max(c).alias(c) for c in reg_cols])
+        .withColumnRenamed("src", "vertex")
+    )
+    g = gathered.select("vertex", *[F.col(c).alias(f"g_{c}") for c in reg_cols])
+    return (
+        regs.join(g, "vertex", "left")
+        .select(
+            "vertex",
+            *[
+                F.greatest(F.col(c), F.coalesce(F.col(f"g_{c}"), F.lit(0)))
+                .alias(c)
+                for c in reg_cols
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def hyperball(
+    edges: DataFrame, verts: DataFrame, max_t: int, p: int = 6
+) -> DataFrame:
+    """(t, nf_est) for t = 0..max_t — HyperBall estimate of the
+    neighbourhood function, rounded 4dp."""
+    m = 1 << p
+    reg_cols = [f"r{j}" for j in range(m)]
+    regs = _init_regs(verts, p, reg_cols)
     spark = edges.sparkSession
     rows = [(0, _nf_of(regs, m, reg_cols))]
     e = edges.select("src", "dst")
     for t in range(1, max_t + 1):
-        # v's ball(t) = v's ball(t-1) ∪ successors' balls(t-1):
-        # gather successor registers keyed by src, max-merge per column,
-        # then merge with own registers (left join: sinks keep their own)
-        gathered = (
-            e.join(regs.withColumnRenamed("vertex", "dst"), "dst")
-            .groupBy("src")
-            .agg(*[F.max(c).alias(c) for c in reg_cols])
-            .withColumnRenamed("src", "vertex")
-        )
-        g = gathered.select(
-            "vertex", *[F.col(c).alias(f"g_{c}") for c in reg_cols]
-        )
-        regs = (
-            regs.join(g, "vertex", "left")
+        regs = _superstep(e, regs, reg_cols)
+        rows.append((t, _nf_of(regs, m, reg_cols)))
+    return spark.createDataFrame(rows, "t int, nf_est double")
+
+
+def harmonic_centrality(
+    edges: DataFrame, verts: DataFrame, max_t: int, p: int = 6
+) -> DataFrame:
+    """(vertex, hc) — HyperBall's flagship application (Boldi–Vigna built
+    it to compute centralities no exact algorithm reaches at web scale):
+    harmonic centrality truncated at max_t,
+
+        hc(v) = Σ_{t=1..max_t} (|ball(v,t)| − |ball(v,t−1)|) / t
+
+    estimated from the same registers, accumulated left-to-right per
+    superstep (fixed association order, so the DuckDB oracle can replay
+    the identical IEEE additions from exact reachability sets; 4dp
+    rounding covers libm ulps). Truncation at max_t is standard for
+    HyperBall runs bounded by iteration count; at convergence
+    (max_t ≥ diameter) it IS the (outbound) harmonic centrality."""
+    m = 1 << p
+    reg_cols = [f"r{j}" for j in range(m)]
+    regs = _init_regs(verts, p, reg_cols)
+    state = regs.select(
+        "vertex",
+        _estimate(m, reg_cols).alias("prev"),
+        F.lit(0.0).alias("hc"),
+    ).localCheckpoint(eager=True)
+    e = edges.select("src", "dst")
+    for t in range(1, max_t + 1):
+        regs = _superstep(e, regs, reg_cols)
+        cur = regs.select("vertex", _estimate(m, reg_cols).alias("cur"))
+        state = (
+            state.join(cur, "vertex")
             .select(
                 "vertex",
-                *[
-                    F.greatest(F.col(c), F.coalesce(F.col(f"g_{c}"), F.lit(0)))
-                    .alias(c)
-                    for c in reg_cols
-                ],
+                F.col("cur").alias("prev"),
+                (F.col("hc") + (F.col("cur") - F.col("prev")) / F.lit(float(t)))
+                .alias("hc"),
             )
             .localCheckpoint(eager=True)
         )
-        rows.append((t, _nf_of(regs, m, reg_cols)))
-    return spark.createDataFrame(rows, "t int, nf_est double")
+    return state.select("vertex", F.round("hc", 4).alias("hc"))
 
 
 def _nf_of(regs: DataFrame, m: int, reg_cols: list[str]) -> float:

@@ -316,14 +316,12 @@ def neighborhood_function_sql(max_t: int = 4) -> str:
     return f"WITH {_clustered_ctes()},\n{_reach_ctes(max_t)}\n{unions}"
 
 
-def hyperball_sql(max_t: int = 4, p: int = 6) -> str:
-    """HyperBall reproduced EXACTLY in SQL from the exact reachability
-    sets: same multiplicative hash, same integer bit-length rho, same
-    harmonic-mean + linear-counting estimate, same 4dp rounding. The
-    harmonic sums are sums of ≤ m exact powers of two (order-independent
-    in IEEE double), so the only cross-engine float freedom is libm ulps
-    — far below the rounding. Constants mirror operators/neighborhood.py
-    (HB_A1/HB_B1/HB_A2/HB_B2, alpha for m)."""
+def _hll_common(p: int):
+    """Shared pieces of the HLL oracles: (m, alpha·m² repr, hs CTE). The
+    hs CTE replays the engine's exact 32-bit xor-shift/multiply mix in
+    all-BIGINT SQL (shiftright of a non-negative == // 2^k; constants
+    imported from the operator so the two sides cannot drift), and rho is
+    the exact integer bit length — no float log anywhere."""
     from ..operators.neighborhood import HB_A1, HB_B1, HB_C1, HB_C2
 
     m = 1 << p
@@ -347,21 +345,63 @@ def hyperball_sql(max_t: int = 4, p: int = 6) -> str:
         f" + {HB_B1}) % 4294967296 AS h0 FROM verts"
         ") q0) q1) q2) q3) q4) q5)"
     )
-    parts = []
-    for t in range(max_t + 1):
-        parts.append(
-            f"SELECT {t} AS t, ROUND(SUM(est), 4) AS nf_est FROM ("
-            f" SELECT v, CASE WHEN raw <= {repr(2.5 * m)} AND zeros > 0"
-            f"  THEN {float(m)} * ln({float(m)} / zeros) ELSE raw END AS est"
-            f" FROM ("
-            f"  SELECT v, {alpha_mm} / harm AS raw, zeros FROM ("
-            f"   SELECT rg.v AS v,"
-            f"    ({m} - COUNT(*)) * 1.0 + SUM(pow(2.0, -reg)) AS harm,"
-            f"    {m} - COUNT(*) AS zeros"
-            f"   FROM (SELECT rr.v AS v, s.j, MAX(s.rho) AS reg"
-            f"         FROM r{t} rr JOIN hs s ON rr.u = s.u"
-            f"         GROUP BY rr.v, s.j) rg"
-            f"   GROUP BY rg.v) h0) h1) h2"
-        )
-    unions = " UNION ALL ".join(parts)
+    return m, alpha_mm, hs
+
+
+def _hll_est_body(t: int, m: int, alpha_mm: str) -> str:
+    """Per-vertex HLL estimate of |ball(v, t)| from the exact reach set
+    r{t} and the hs register CTE — the engine's _estimate formula verbatim
+    (harmonic mean + linear-counting small-range branch)."""
+    return (
+        f"SELECT v, CASE WHEN raw <= {repr(2.5 * m)} AND zeros > 0"
+        f"  THEN {float(m)} * ln({float(m)} / zeros) ELSE raw END AS est"
+        f" FROM ("
+        f"  SELECT v, {alpha_mm} / harm AS raw, zeros FROM ("
+        f"   SELECT rg.v AS v,"
+        f"    ({m} - COUNT(*)) * 1.0 + SUM(pow(2.0, -reg)) AS harm,"
+        f"    {m} - COUNT(*) AS zeros"
+        f"   FROM (SELECT rr.v AS v, s.j, MAX(s.rho) AS reg"
+        f"         FROM r{t} rr JOIN hs s ON rr.u = s.u"
+        f"         GROUP BY rr.v, s.j) rg"
+        f"   GROUP BY rg.v) h0) h1"
+    )
+
+
+def hyperball_sql(max_t: int = 4, p: int = 6) -> str:
+    """HyperBall reproduced EXACTLY in SQL from the exact reachability
+    sets: same mixed hash, same integer bit-length rho, same
+    harmonic-mean + linear-counting estimate, same 4dp rounding. The
+    harmonic sums are sums of ≤ m exact powers of two (order-independent
+    in IEEE double), so the only cross-engine float freedom is libm ulps
+    — far below the rounding."""
+    m, alpha_mm, hs = _hll_common(p)
+    unions = " UNION ALL ".join(
+        f"SELECT {t} AS t, ROUND(SUM(est), 4) AS nf_est FROM ("
+        + _hll_est_body(t, m, alpha_mm)
+        + ") h2"
+        for t in range(max_t + 1)
+    )
     return f"WITH {_clustered_ctes()},\n{_reach_ctes(max_t)},\n{hs}\n{unions}"
+
+
+def harmonic_centrality_sql(max_t: int = 4, p: int = 6) -> str:
+    """Truncated harmonic centrality from the SAME per-t HLL estimates,
+    accumulated in the engine's exact left-to-right association order
+    ((d1 + d2) + d3) + … so both engines execute identical IEEE adds on
+    identical inputs; 4dp rounding covers libm ulps."""
+    m, alpha_mm, hs = _hll_common(p)
+    est_ctes = ",\n".join(
+        f"est{t} AS MATERIALIZED ({_hll_est_body(t, m, alpha_mm)})"
+        for t in range(max_t + 1)
+    )
+    terms = " + ".join(
+        f"(e{t}.est - e{t-1}.est) / {float(t)}" for t in range(1, max_t + 1)
+    )
+    joins = " ".join(
+        f"JOIN est{t} e{t} ON e0.v = e{t}.v" for t in range(1, max_t + 1)
+    )
+    return (
+        f"WITH {_clustered_ctes()},\n{_reach_ctes(max_t)},\n{hs},\n{est_ctes}\n"
+        f"SELECT e0.v AS vertex, ROUND({terms}, 4) AS hc"
+        f" FROM est0 e0 {joins}"
+    )
