@@ -228,6 +228,24 @@ def main() -> int:
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 
+    # 13. HyperBall superstep: register max-merge is a map-side partial
+    # aggregation with no Python and no Window — a hub's 1e7-edge fan-in
+    # must collapse to one row per (task, vertex) before the shuffle
+    from webgraph_ans_rs_spark.operators.neighborhood import (
+        _init_regs,
+        _superstep_plan,
+    )
+
+    hb_verts = vertices(docs)
+    hb_regs = _init_regs(hb_verts, 6, [f"r{j}" for j in range(64)])
+    hb_plan = plan_of(_superstep_plan(edges, hb_regs, [f"r{j}" for j in range(64)]))
+    check(
+        "hyperball-superstep: partial_max merge, no Python, no Window",
+        "partial_max" in hb_plan
+        and "BatchEvalPython" not in hb_plan
+        and "Window" not in hb_plan,
+    )
+
     failed = [c for c in checks if not c[1]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan properties hold")
     return 1 if failed else 0

@@ -125,10 +125,14 @@ def _init_regs(verts: DataFrame, p: int, reg_cols: list[str]) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
-def _superstep(e: DataFrame, regs: DataFrame, reg_cols: list[str]) -> DataFrame:
+def _superstep_plan(
+    e: DataFrame, regs: DataFrame, reg_cols: list[str]
+) -> DataFrame:
     """v's ball(t) = v's ball(t-1) ∪ successors' balls(t-1): gather
     successor registers keyed by src, max-merge per column, then merge
-    with own registers (left join: sinks keep their own)."""
+    with own registers (left join: sinks keep their own). Pure plan —
+    tools/plan_audit.py asserts the max-merge partial-aggregates map-side
+    with no Python/Window; ``_superstep`` adds the lineage barrier."""
     gathered = (
         e.join(regs.withColumnRenamed("vertex", "dst"), "dst")
         .groupBy("src")
@@ -136,18 +140,17 @@ def _superstep(e: DataFrame, regs: DataFrame, reg_cols: list[str]) -> DataFrame:
         .withColumnRenamed("src", "vertex")
     )
     g = gathered.select("vertex", *[F.col(c).alias(f"g_{c}") for c in reg_cols])
-    return (
-        regs.join(g, "vertex", "left")
-        .select(
-            "vertex",
-            *[
-                F.greatest(F.col(c), F.coalesce(F.col(f"g_{c}"), F.lit(0)))
-                .alias(c)
-                for c in reg_cols
-            ],
-        )
-        .localCheckpoint(eager=True)
+    return regs.join(g, "vertex", "left").select(
+        "vertex",
+        *[
+            F.greatest(F.col(c), F.coalesce(F.col(f"g_{c}"), F.lit(0))).alias(c)
+            for c in reg_cols
+        ],
     )
+
+
+def _superstep(e: DataFrame, regs: DataFrame, reg_cols: list[str]) -> DataFrame:
+    return _superstep_plan(e, regs, reg_cols).localCheckpoint(eager=True)
 
 
 def hyperball(
