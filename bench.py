@@ -230,6 +230,18 @@ def main() -> None:
     # superstep throughput excludes the one-time CSR/degree setup — same
     # accounting as the reference's ns/arc (decode only, not compression)
     edges_per_sec = PR_SUPERSTEPS * n_edges / res.loop_sec
+
+    # HyperBall at full bench scale (p=4 → 16 register columns, 3
+    # supersteps): the WebGraph companion algorithm over the same edge
+    # table — evidences the column-register max-merge shape at
+    # multi-million-edge scale, not just under the sf0.01 oracle gate
+    from webgraph_ans_rs_spark.operators.neighborhood import hyperball
+
+    t0 = time.time()
+    hb = hyperball(edges, verts, max_t=3, p=4)
+    hb.count()
+    hb_sec = round(time.time() - t0, 3)  # reported standalone: the suite
+    # total's query set is fixed across rounds for comparability
     edges.unpersist()
 
     total = round(sum(queries.values()), 3)
@@ -254,6 +266,7 @@ def main() -> None:
                 "random_access_ns_per_arc": round(1e9 * ra_sec / max(1, n_arcs_enum)),
                 "sequential_arcs": int(n_arcs_seq),
                 "sequential_ns_per_arc": round(1e9 * seq_sec / max(1, n_arcs_seq), 1),
+                "hyperball_3iter_sec": hb_sec,
                 "storage": storage,
             }
         )

@@ -128,24 +128,21 @@ def _init_regs(verts: DataFrame, p: int, reg_cols: list[str]) -> DataFrame:
 def _superstep_plan(
     e: DataFrame, regs: DataFrame, reg_cols: list[str]
 ) -> DataFrame:
-    """v's ball(t) = v's ball(t-1) ∪ successors' balls(t-1): gather
-    successor registers keyed by src, max-merge per column, then merge
-    with own registers (left join: sinks keep their own). Pure plan —
-    tools/plan_audit.py asserts the max-merge partial-aggregates map-side
-    with no Python/Window; ``_superstep`` adds the lineage barrier."""
-    gathered = (
-        e.join(regs.withColumnRenamed("vertex", "dst"), "dst")
-        .groupBy("src")
-        .agg(*[F.max(c).alias(c) for c in reg_cols])
-        .withColumnRenamed("src", "vertex")
+    """v's ball(t) = v's ball(t-1) ∪ successors' balls(t-1): successor
+    registers keyed by the edge's src UNIONed with each vertex's own
+    registers as a self-contribution, then ONE groupBy(vertex).max per
+    column — the self-merge rides the same aggregation (no separate left
+    join), map-side partial max collapses a hub's fan-in inside each task,
+    and sinks keep their own registers via the self row. Pure plan —
+    tools/plan_audit.py asserts the shape; ``_superstep`` adds the
+    lineage barrier."""
+    gathered = e.join(regs.withColumnRenamed("vertex", "dst"), "dst").select(
+        F.col("src").alias("vertex"), *reg_cols
     )
-    g = gathered.select("vertex", *[F.col(c).alias(f"g_{c}") for c in reg_cols])
-    return regs.join(g, "vertex", "left").select(
-        "vertex",
-        *[
-            F.greatest(F.col(c), F.coalesce(F.col(f"g_{c}"), F.lit(0))).alias(c)
-            for c in reg_cols
-        ],
+    return (
+        gathered.unionByName(regs.select("vertex", *reg_cols))
+        .groupBy("vertex")
+        .agg(*[F.max(c).alias(c) for c in reg_cols])
     )
 
 
