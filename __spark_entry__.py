@@ -472,6 +472,20 @@ def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(edges, verts, NF_MAX_T, p=HB_P)
 
 
+BFS_SEED_MOD = 101
+
+
+def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (the WebGraph bfs-tool analogue): min-hop
+    distances within NF_MAX_T from the deterministic seed set
+    vertex % 101 == 0, on the clustered graph."""
+    from webgraph_ans_rs_spark.operators.bfs import bfs_distances
+
+    edges, verts = _clustered(spark, sf_dir)
+    seeds = verts.where(F.col("vertex") % BFS_SEED_MOD == 0)
+    return bfs_distances(edges, seeds, NF_MAX_T)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_count": _q_token_count,
@@ -517,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_function": _q_neighborhood_function,
         "hyperball": _q_hyperball,
         "harmonic_centrality": _q_harmonic_centrality,
+        "bfs_distances": _q_bfs_distances,
     }
 
 
@@ -578,4 +593,5 @@ def oracle_sql() -> dict[str, str]:
         "neighborhood_function": oracles.neighborhood_function_sql(NF_MAX_T),
         "hyperball": oracles.hyperball_sql(NF_MAX_T, HB_P),
         "harmonic_centrality": oracles.harmonic_centrality_sql(NF_MAX_T, HB_P),
+        "bfs_distances": oracles.bfs_distances_sql(NF_MAX_T, BFS_SEED_MOD),
     }

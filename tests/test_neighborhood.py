@@ -79,3 +79,24 @@ def test_harmonic_centrality_tracks_exact_on_chain(spark):
     assert got[3] == 0.0
     for v in (0, 1, 2):
         assert abs(got[v] - exact[v]) / exact[v] < 0.12, (v, exact[v], got[v])
+
+
+def test_bfs_distances_chain_and_multisource(spark):
+    from webgraph_ans_rs_spark.operators.bfs import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 2)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (10,)], "vertex long")
+    got = {r.vertex: r.dist for r in bfs_distances(edges, seeds, 3).collect()}
+    # 2 is reached at dist 1 via 10 (not 2 via 0); 3 at 2; unreachable 4 absent
+    assert got == {0: 0, 10: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_bfs_distances_depth_budget(spark):
+    from webgraph_ans_rs_spark.operators.bfs import bfs_distances
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "vertex long")
+    got = {r.vertex: r.dist for r in bfs_distances(edges, seeds, 1).collect()}
+    assert got == {0: 0, 1: 1}  # 2 is beyond the budget

@@ -405,3 +405,20 @@ def harmonic_centrality_sql(max_t: int = 4, p: int = 6) -> str:
         f"SELECT e0.v AS vertex, ROUND({terms}, 4) AS hc"
         f" FROM est0 e0 {joins}"
     )
+
+
+def bfs_distances_sql(max_t: int = 4, seed_mod: int = 101) -> str:
+    """Min-hop distances from the deterministic seed set
+    (vertex % seed_mod == 0) on the clustered graph: dist(u) = MIN t such
+    that some seed reaches u within t hops — read directly off the exact
+    reachability CTEs."""
+    unions = " UNION ALL ".join(
+        f"SELECT r.u AS vertex, {t} AS t FROM r{t} r"
+        f" JOIN seeds s ON r.v = s.vertex"
+        for t in range(max_t + 1)
+    )
+    return (
+        f"WITH {_clustered_ctes()},\n{_reach_ctes(max_t)},\n"
+        f"seeds AS (SELECT vertex FROM verts WHERE vertex % {seed_mod} = 0)\n"
+        f"SELECT vertex, MIN(t) AS dist FROM ({unions}) x GROUP BY vertex"
+    )
