@@ -486,6 +486,18 @@ def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, seeds, NF_MAX_T)
 
 
+def _q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank-shape personalized PageRank: teleport restricted to the
+    deterministic seed set vertex % 101 == 0, 5 iterations, clustered
+    graph (non-seed components correctly drain to 0)."""
+    from webgraph_ans_rs_spark.operators.pagerank import personalized_pagerank
+
+    edges, verts = _clustered(spark, sf_dir)
+    seeds = verts.where(F.col("vertex") % BFS_SEED_MOD == 0)
+    pr = personalized_pagerank(edges, verts, seeds, damping=0.85, num_iter=5)
+    return pr.select("vertex", F.round("pr", 6).alias("pr"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_count": _q_token_count,
@@ -532,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball": _q_hyperball,
         "harmonic_centrality": _q_harmonic_centrality,
         "bfs_distances": _q_bfs_distances,
+        "personalized_pagerank": _q_personalized_pagerank,
     }
 
 
@@ -594,4 +607,7 @@ def oracle_sql() -> dict[str, str]:
         "hyperball": oracles.hyperball_sql(NF_MAX_T, HB_P),
         "harmonic_centrality": oracles.harmonic_centrality_sql(NF_MAX_T, HB_P),
         "bfs_distances": oracles.bfs_distances_sql(NF_MAX_T, BFS_SEED_MOD),
+        "personalized_pagerank": oracles.personalized_pagerank_sql(
+            5, 0.85, BFS_SEED_MOD
+        ),
     }

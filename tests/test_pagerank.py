@@ -70,3 +70,46 @@ def test_pagerank_history_metrics(spark):
     res = pagerank(edges, verts, max_iter=3, tol=None)
     assert len(res.history) == 3
     assert all(h["wall_ms"] >= 0 and h["l1_delta"] >= 0 for h in res.history)
+
+
+def test_personalized_pagerank_mass_and_locality(spark):
+    """PPR sanity on two disjoint 3-cycles with the seed in one of them:
+    total mass stays 1 (no dangling here), the seedless component drains
+    to exactly 0, and the seed holds the largest score."""
+    from webgraph_ans_rs_spark.operators.pagerank import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)],
+        "src long, dst long",
+    )
+    verts = spark.createDataFrame(
+        [(v,) for v in (0, 1, 2, 10, 11, 12)], "vertex long"
+    )
+    seeds = spark.createDataFrame([(0,)], "vertex long")
+    pr = {
+        r.vertex: r.pr
+        for r in personalized_pagerank(edges, verts, seeds, num_iter=60).collect()
+    }
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    assert pr[10] == pr[11] == pr[12] == 0.0
+    # stationary solution of the seeded 3-cycle: pr0 = 0.15/(1-0.85^3),
+    # pr1 = 0.85*pr0, pr2 = 0.85^2*pr0 (60 iters: residual ~0.85^60)
+    p0 = 0.15 / (1.0 - 0.85**3)
+    for v, want in ((0, p0), (1, 0.85 * p0), (2, 0.85**2 * p0)):
+        assert abs(pr[v] - want) < 1e-4, (v, want, pr[v])
+
+
+def test_personalized_pagerank_dangling_to_seeds(spark):
+    """A dangling sink's mass must flow back to the seed set, conserving
+    total mass."""
+    from webgraph_ans_rs_spark.operators.pagerank import personalized_pagerank
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(0,), (1,), (2,)], "vertex long")
+    seeds = spark.createDataFrame([(0,)], "vertex long")
+    pr = {
+        r.vertex: r.pr
+        for r in personalized_pagerank(edges, verts, seeds, num_iter=20).collect()
+    }
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    assert pr[0] > pr[1] > 0 and pr[2] > 0

@@ -311,3 +311,92 @@ def pagerank(
         setup_sec=setup_sec,
         loop_sec=loop_sec,
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    verts: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    num_iter: int = 5,
+) -> DataFrame:
+    """Personalized PageRank (the TrustRank shape: teleport restricted to
+    a trusted seed set) — (vertex, pr) after ``num_iter`` exact power
+    iterations with teleport vector s(v) = 1/|seeds| on the seed set.
+
+        pr_{i+1}(v) = ((1−d) + d·dm_i) · s(v) + d · Σ_{u→v} pr_i(u)/outdeg(u)
+
+    with dangling mass dm redistributed to the seeds (the personalized
+    analogue of uniform redistribution). Plan shape: the gather is an
+    edge join + groupBy(dst) SUM with map-side partials (hub-safe); the
+    apply joins the loop-invariant seed vector (verts-sized, cached).
+    Two exchanges per superstep — the flagship `pagerank` loop's
+    co-partitioned single-exchange machinery applies identically if this
+    becomes a hot path; kept simple here because PPR runs are typically
+    few-iteration and seed-sparse. Driver-side scalars mirror the uniform
+    loop's float-op order so the DuckDB oracle replays identical IEEE
+    arithmetic (gate query `personalized_pagerank`, rounded 6dp)."""
+    spark = edges.sparkSession
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    s_val = 1.0 / n_seeds
+    sv = (
+        verts.join(
+            seeds.select("vertex").withColumn("_is_seed", F.lit(True)),
+            "vertex",
+            "left",
+        )
+        .select(
+            "vertex",
+            F.when(F.col("_is_seed"), F.lit(s_val)).otherwise(F.lit(0.0)).alias("s"),
+        )
+        .persist()
+    )
+    ew = (
+        edges.join(
+            edges.groupBy("src").agg((F.lit(1.0) / F.count("*")).alias("w")),
+            "src",
+        )
+        .select("src", "dst", "w")
+        .persist()
+    )
+    dangling_verts = verts.join(
+        ew.select(F.col("src").alias("vertex")), "vertex", "left_anti"
+    ).persist()
+    try:
+        sv.count()
+        ew.count()
+        has_dangling = dangling_verts.count() > 0
+        pr = sv.select("vertex", F.col("s").alias("pr")).localCheckpoint(eager=True)
+        for _ in range(num_iter):
+            dm = (
+                pr.join(dangling_verts, "vertex", "left_semi")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+                .first()[0]
+                if has_dangling
+                else 0.0
+            )
+            coef = (1.0 - damping) + damping * dm
+            g = (
+                ew.join(pr.withColumnRenamed("vertex", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("pr") * F.col("w")).alias("g"))
+                .withColumnRenamed("dst", "vertex")
+            )
+            pr = (
+                sv.join(g, "vertex", "left")
+                .select(
+                    "vertex",
+                    (
+                        F.lit(coef) * F.col("s")
+                        + F.lit(damping) * F.coalesce(F.col("g"), F.lit(0.0))
+                    ).alias("pr"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return pr
+    finally:
+        sv.unpersist()
+        ew.unpersist()
+        dangling_verts.unpersist()

@@ -422,3 +422,62 @@ def bfs_distances_sql(max_t: int = 4, seed_mod: int = 101) -> str:
         f"seeds AS (SELECT vertex FROM verts WHERE vertex % {seed_mod} = 0)\n"
         f"SELECT vertex, MIN(t) AS dist FROM ({unions}) x GROUP BY vertex"
     )
+
+
+def personalized_pagerank_sql(
+    num_iter: int = 5,
+    damping: float = 0.85,
+    seed_mod: int = 101,
+    round_dp: int = 6,
+) -> str:
+    """Unrolled PPR on the clustered graph, mirroring the engine's float-op
+    order: teleport s(v) = 1/|seeds| on vertex % seed_mod == 0, dangling
+    mass to seeds, pr = ((1−d) + d·dm)·s + d·g. The engine's per-iteration
+    scalar coef is computed by the same IEEE ops; summation-order drift in
+    dm/g is ~1e-16 relative, far below the 6dp rounding (the established
+    pagerank-oracle budget)."""
+    one_minus_d = repr(1.0 - damping)
+    d = repr(damping)
+    ctes = [
+        _clustered_ctes(),
+        f"seeds AS (SELECT vertex FROM verts WHERE vertex % {seed_mod} = 0)",
+        "ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM seeds)",
+        (
+            "sv AS MATERIALIZED (SELECT v.vertex,"
+            " CASE WHEN s.vertex IS NOT NULL THEN CAST(1.0 AS DOUBLE) / (SELECT c FROM ns)"
+            " ELSE CAST(0.0 AS DOUBLE) END AS s"
+            " FROM verts v LEFT JOIN seeds s USING (vertex))"
+        ),
+        (
+            "od AS MATERIALIZED (SELECT v.vertex,"
+            " CAST(COALESCE(c.cnt, 0) AS BIGINT) AS outdeg,"
+            " CAST(1.0 AS DOUBLE) / COALESCE(c.cnt, 1) AS w"
+            " FROM verts v LEFT JOIN (SELECT src AS vertex, COUNT(*) AS cnt"
+            " FROM cedges GROUP BY 1) c USING (vertex))"
+        ),
+        "p0 AS MATERIALIZED (SELECT vertex, s AS pr FROM sv)",
+    ]
+    for i in range(1, num_iter + 1):
+        prev = i - 1
+        ctes.append(
+            f"pdm{i} AS (SELECT COALESCE(SUM(r.pr), CAST(0.0 AS DOUBLE)) AS m"
+            f" FROM p{prev} r JOIN od USING (vertex) WHERE od.outdeg = 0)"
+        )
+        ctes.append(
+            f"pg{i} AS (SELECT e.dst AS vertex, SUM(r.pr * od.w) AS g"
+            f" FROM cedges e JOIN p{prev} r ON r.vertex = e.src"
+            f" JOIN od ON od.vertex = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT v.vertex,"
+            f" (CAST({one_minus_d} AS DOUBLE)"
+            f" + CAST({d} AS DOUBLE) * (SELECT m FROM pdm{i})) * sv.s"
+            f" + CAST({d} AS DOUBLE) * COALESCE(g.g, CAST(0.0 AS DOUBLE)) AS pr"
+            f" FROM verts v JOIN sv ON sv.vertex = v.vertex"
+            f" LEFT JOIN pg{i} g ON g.vertex = v.vertex)"
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vertex, ROUND(pr, {round_dp}) AS pr FROM p{num_iter}"
+    )
