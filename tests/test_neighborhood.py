@@ -61,8 +61,10 @@ def test_hyperball_seeded_graph(spark):
     hb = _nf(hyperball(edges, verts, 3, p=6), col="nf_est")
     for t in ex:
         assert abs(hb[t] - ex[t]) / ex[t] < 0.15, (t, ex[t], hb[t])
-    # NF estimates are monotone in t (registers only ever grow)
-    assert all(hb[t] <= hb[t + 1] + 1e-9 for t in range(3))
+    # NOTE: nf_est is NOT monotone in t even though registers only grow —
+    # the estimate is discontinuous at the linear-counting→raw regime
+    # switch (a vertex's last zero register filling can DROP its estimate
+    # from m·ln(m) to alpha·m²/harm), so no monotonicity assertion here.
 
 
 def test_harmonic_centrality_tracks_exact_on_chain(spark):
@@ -100,3 +102,30 @@ def test_bfs_distances_depth_budget(spark):
     seeds = spark.createDataFrame([(0,)], "vertex long")
     got = {r.vertex: r.dist for r in bfs_distances(edges, seeds, 1).collect()}
     assert got == {0: 0, 1: 1}  # 2 is beyond the budget
+
+
+def test_hyperball_full_range_hashed_ids(spark):
+    """The register hash must accept ANY int64 id (negative xxhash64 ids
+    included) without ANSI overflow — the engine's flagship graph uses
+    full-range hashed ids."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    hashed = edges.select(
+        F.xxhash64(F.col("src").cast("string")).alias("src"),
+        F.xxhash64(F.col("dst").cast("string")).alias("dst"),
+    )
+    verts = hashed.select("src").union(hashed.select("dst")).distinct().toDF("vertex")
+    hb = _nf(hyperball(hashed, verts, 2, p=6), col="nf_est")
+    assert all(v > 0 for v in hb.values())  # and no ANSI overflow raised
+
+
+def test_bfs_duplicate_seeds_deduped(spark):
+    from webgraph_ans_rs_spark.operators.bfs import bfs_distances
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (0,)], "vertex long")
+    rows = bfs_distances(edges, seeds, 1).collect()
+    assert sorted((r.vertex, r.dist) for r in rows) == [(0, 0), (1, 1)]

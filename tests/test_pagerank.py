@@ -113,3 +113,18 @@ def test_personalized_pagerank_dangling_to_seeds(spark):
     }
     assert abs(sum(pr.values()) - 1.0) < 1e-9
     assert pr[0] > pr[1] > 0 and pr[2] > 0
+
+
+def test_personalized_pagerank_duplicate_and_foreign_seeds(spark):
+    """Duplicate seed rows and seeds outside the vertex set must not lose
+    teleport mass."""
+    from webgraph_ans_rs_spark.operators.pagerank import personalized_pagerank
+
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    verts = spark.createDataFrame([(0,), (1,)], "vertex long")
+    seeds = spark.createDataFrame([(0,), (0,), (99,)], "vertex long")
+    pr = {
+        r.vertex: r.pr
+        for r in personalized_pagerank(edges, verts, seeds, num_iter=10).collect()
+    }
+    assert abs(sum(pr.values()) - 1.0) < 1e-9

@@ -237,7 +237,7 @@ def main() -> int:
     )
 
     hb_verts = vertices(docs)
-    hb_regs = _init_regs(hb_verts, 6, [f"r{j}" for j in range(64)])
+    hb_regs = _init_regs(hb_verts, 6, [f"r{j}" for j in range(64)], eager=False)
     hb_plan = plan_of(_superstep_plan(edges, hb_regs, [f"r{j}" for j in range(64)]))
     check(
         "hyperball-superstep: partial_max merge, no Python, no Window",

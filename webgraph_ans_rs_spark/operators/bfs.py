@@ -24,8 +24,11 @@ def bfs_distances(
     ``vertex``) within ``max_depth`` directed hops; dist = min #hops
     (seeds themselves at 0). Vertices not reached within the budget are
     absent — callers wanting ∞ rows left-join against their vertex set."""
-    dist = seeds.select("vertex", F.lit(0).alias("dist")).localCheckpoint(
-        eager=True
+    dist = (
+        seeds.select("vertex")
+        .dropDuplicates(["vertex"])  # caller unions without distinct happen
+        .select("vertex", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
     )
     frontier = dist.select("vertex")
     e = edges.select(F.col("src").alias("vertex"), "dst")

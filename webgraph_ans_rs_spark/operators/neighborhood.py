@@ -41,15 +41,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# 32-bit xor-shift/multiply mix (lowbias32-style finalizer with constants
-# chosen so every 2^32 · C intermediate stays < 2^63 — int64-safe in Spark
-# ANSI and DuckDB; pure multiplicative hashing alone left registers of
-# near-consecutive ids correlated and HyperBall 29% off at t=3 — the mix
-# brings it back inside the HLL envelope, pytest-calibrated)
-HB_A1, HB_B1 = 2654435761, 7  # Knuth constant (public)
+# 32-bit xor-shift/multiply mix (lowbias32-style finalizer). Domain: ANY
+# int64 vertex id — the id is first reduced mod 2^32 (pmod, negative-safe)
+# and every multiplier is < 2^31, so every product stays < 2^63 in both
+# ANSI Spark and DuckDB. Pure multiplicative hashing alone left registers
+# of near-consecutive ids correlated and HyperBall 29% off at t=3 — the
+# mix brings it back inside the HLL envelope, pytest-calibrated.
+HB_A1, HB_B1 = 0x61C88647, 7  # 1640531527 (32-bit golden ratio, public)
 HB_C1 = 0x7FEB352D  # 2146121005: (2^32−1)·C1 < 2^63−1
 HB_C2 = 0x735A2D97  # 1935289751
 HB_M32 = 1 << 32
+HB_LIN_FACTOR = 2.5  # linear-counting regime threshold: raw ≤ 2.5·m
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias-correction constant — single source for engine
+    and oracle."""
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
 
 
 def neighborhood_function_exact(
@@ -80,7 +88,8 @@ def _rho_and_idx(vcol, p: int):
     register index = h mod 2^p, rho = 1 + #leading zeros of the remaining
     32−p bits, computed EXACTLY as (33−p) − length(bin(w)) — integer bit
     length, no float log anywhere."""
-    x = F.pmod(vcol.cast("long") * F.lit(HB_A1) + F.lit(HB_B1), F.lit(HB_M32))
+    x0 = F.pmod(vcol.cast("long"), F.lit(HB_M32))  # negative-safe reduce
+    x = F.pmod(x0 * F.lit(HB_A1) + F.lit(HB_B1), F.lit(HB_M32))
     x = x.bitwiseXOR(F.shiftright(x, 16))
     x = F.pmod(x * F.lit(HB_C1), F.lit(HB_M32))
     x = x.bitwiseXOR(F.shiftright(x, 15))
@@ -99,9 +108,6 @@ def _estimate(m: int, reg_cols: list[str]):
     """Standard HLL estimate from register COLUMNS: harmonic mean with the
     linear-counting small-range correction. Exact powers of two in the
     harmonic sum keep cross-engine float drift at rounding level."""
-    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
-        m, 0.7213 / (1.0 + 1.079 / m)
-    )
     harm = None
     zeros = None
     for c in reg_cols:
@@ -109,20 +115,25 @@ def _estimate(m: int, reg_cols: list[str]):
         harm = term if harm is None else harm + term
         z = F.when(F.col(c) == 0, 1).otherwise(0)
         zeros = z if zeros is None else zeros + z
-    raw = F.lit(alpha * m * m) / harm
+    raw = F.lit(hll_alpha(m) * m * m) / harm
     lin = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
-    return F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lin).otherwise(raw)
+    return F.when((raw <= F.lit(HB_LIN_FACTOR * m)) & (zeros > 0), lin).otherwise(raw)
 
 
-def _init_regs(verts: DataFrame, p: int, reg_cols: list[str]) -> DataFrame:
+def _init_regs(
+    verts: DataFrame, p: int, reg_cols: list[str], eager: bool = True
+) -> DataFrame:
     idx, rho = _rho_and_idx(F.col("vertex"), p)
-    return verts.select(
+    out = verts.select(
         "vertex",
         *[
             F.when(idx == j, rho).otherwise(0).cast("int").alias(c)
             for j, c in enumerate(reg_cols)
         ],
-    ).localCheckpoint(eager=True)
+    )
+    # eager=False: plan-only (tools/plan_audit.py inspects the superstep
+    # shape without paying a vertices×m materialization)
+    return out.localCheckpoint(eager=True) if eager else out
 
 
 def _superstep_plan(
@@ -211,7 +222,8 @@ def _nf_of(regs: DataFrame, m: int, reg_cols: list[str]) -> float:
     from decimal import ROUND_HALF_UP, Decimal
 
     est = _estimate(m, reg_cols)
-    row = regs.agg(F.sum(est).alias("nf")).collect()[0]
+    # coalesce: SUM over an empty register frame (empty graph) is NULL
+    row = regs.agg(F.coalesce(F.sum(est), F.lit(0.0)).alias("nf")).collect()[0]
     # HALF_UP to match DuckDB's ROUND (python round() is banker's)
     return float(
         Decimal(repr(float(row.nf))).quantize(Decimal("0.0001"), ROUND_HALF_UP)

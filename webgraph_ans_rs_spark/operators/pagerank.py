@@ -337,6 +337,14 @@ def personalized_pagerank(
     loop's float-op order so the DuckDB oracle replays identical IEEE
     arithmetic (gate query `personalized_pagerank`, rounded 6dp)."""
     spark = edges.sparkSession
+    # normalize the seed set BEFORE sizing the teleport: duplicate seed
+    # rows or seeds outside the vertex universe would otherwise inflate
+    # n_seeds while sv sums to < 1 — silently losing teleport mass
+    seeds = (
+        seeds.select("vertex")
+        .dropDuplicates(["vertex"])
+        .join(verts.select("vertex"), "vertex", "left_semi")
+    )
     n_seeds = seeds.count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs a non-empty seed set")

@@ -322,11 +322,16 @@ def _hll_common(p: int):
     all-BIGINT SQL (shiftright of a non-negative == // 2^k; constants
     imported from the operator so the two sides cannot drift), and rho is
     the exact integer bit length — no float log anywhere."""
-    from ..operators.neighborhood import HB_A1, HB_B1, HB_C1, HB_C2
+    from ..operators.neighborhood import (
+        HB_A1,
+        HB_B1,
+        HB_C1,
+        HB_C2,
+        hll_alpha,
+    )
 
     m = 1 << p
-    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
-    alpha_mm = repr(alpha * m * m)
+    alpha_mm = repr(hll_alpha(m) * m * m)
     maxr = 32 - p + 1
     # the engine's exact 32-bit xor-shift/multiply mix, all-BIGINT
     # (shiftright of a non-negative == // 2^k; constants imported so the
@@ -341,11 +346,21 @@ def _hll_common(p: int):
         "   SELECT u, xor(x2, x2 // 32768) AS x3 FROM ("
         f"    SELECT u, (x1 * {HB_C1}) % 4294967296 AS x2 FROM ("
         "     SELECT u, xor(h0, h0 // 65536) AS x1 FROM ("
-        f"      SELECT vertex AS u, (CAST(vertex AS BIGINT) * {HB_A1}"
+        # negative-safe mod-2^32 pre-reduction mirrors Spark's pmod, and
+        # keeps the first multiply's operand < 2^32 (HB_A1 < 2^31 → the
+        # product stays < 2^63 for ANY int64 vertex id)
+        f"      SELECT vertex AS u, (((CAST(vertex AS BIGINT) % 4294967296"
+        f" + 4294967296) % 4294967296) * {HB_A1}"
         f" + {HB_B1}) % 4294967296 AS h0 FROM verts"
         ") q0) q1) q2) q3) q4) q5)"
     )
     return m, alpha_mm, hs
+
+
+def _lin_factor() -> float:
+    from ..operators.neighborhood import HB_LIN_FACTOR
+
+    return HB_LIN_FACTOR
 
 
 def _hll_est_body(t: int, m: int, alpha_mm: str) -> str:
@@ -353,7 +368,7 @@ def _hll_est_body(t: int, m: int, alpha_mm: str) -> str:
     r{t} and the hs register CTE — the engine's _estimate formula verbatim
     (harmonic mean + linear-counting small-range branch)."""
     return (
-        f"SELECT v, CASE WHEN raw <= {repr(2.5 * m)} AND zeros > 0"
+        f"SELECT v, CASE WHEN raw <= {repr(_lin_factor() * m)} AND zeros > 0"
         f"  THEN {float(m)} * ln({float(m)} / zeros) ELSE raw END AS est"
         f" FROM ("
         f"  SELECT v, {alpha_mm} / harm AS raw, zeros FROM ("
