@@ -498,6 +498,16 @@ def _q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("vertex", F.round("pr", 6).alias("pr"))
 
 
+def _q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF's headline statistic (the 'four degrees of separation'
+    measurement): interpolated hop count covering 90% of reachable pairs,
+    from the same deterministic HLL registers."""
+    from webgraph_ans_rs_spark.operators.neighborhood import effective_diameter
+
+    edges, verts = _clustered(spark, sf_dir)
+    return effective_diameter(edges, verts, NF_MAX_T, p=HB_P, q=0.9)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_count": _q_token_count,
@@ -545,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": _q_harmonic_centrality,
         "bfs_distances": _q_bfs_distances,
         "personalized_pagerank": _q_personalized_pagerank,
+        "effective_diameter": _q_effective_diameter,
     }
 
 
@@ -610,4 +621,5 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": oracles.personalized_pagerank_sql(
             5, 0.85, BFS_SEED_MOD
         ),
+        "effective_diameter": oracles.effective_diameter_sql(NF_MAX_T, HB_P, 0.9),
     }

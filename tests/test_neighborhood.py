@@ -129,3 +129,18 @@ def test_bfs_duplicate_seeds_deduped(spark):
     seeds = spark.createDataFrame([(0,), (0,)], "vertex long")
     rows = bfs_distances(edges, seeds, 1).collect()
     assert sorted((r.vertex, r.dist) for r in rows) == [(0, 0), (1, 1)]
+
+
+def test_effective_diameter_on_chain(spark):
+    """On a long path graph NF grows ~linearly in t, so the q=0.9
+    interpolated diameter must sit strictly between 0 and max_t and be
+    ~where the cumulative ball mass crosses 90%."""
+    from webgraph_ans_rs_spark.operators.neighborhood import effective_diameter
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(31)], "vertex long")
+    row = effective_diameter(edges, verts, 4, q=0.9).collect()[0]
+    assert row.q == 0.9
+    assert 2.0 < row.d_eff <= 4.0

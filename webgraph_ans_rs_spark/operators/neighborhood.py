@@ -228,3 +228,38 @@ def _nf_of(regs: DataFrame, m: int, reg_cols: list[str]) -> float:
     return float(
         Decimal(repr(float(row.nf))).quantize(Decimal("0.0001"), ROUND_HALF_UP)
     )
+
+
+def effective_diameter(
+    edges: DataFrame,
+    verts: DataFrame,
+    max_t: int,
+    p: int = 6,
+    q: float = 0.9,
+) -> DataFrame:
+    """1-row (q, d_eff): the effective diameter at quantile ``q`` — the
+    (interpolated) hop count within which a fraction q of all reachable
+    pairs connect. THE headline statistic HyperANF/HyperBall was built to
+    measure at web scale (Boldi–Vigna's "four degrees of separation"
+    result is exactly this number on the Facebook graph).
+
+    Convention: smallest t with NF(t) ≥ q·NF(max_t), linearly interpolated
+    between t−1 and t. Computed from the 4dp-ROUNDED NF estimates that
+    ``hyperball`` returns, so engine and oracle interpolate from
+    bit-identical inputs and the result is deterministic."""
+    spark = edges.sparkSession
+    rows = sorted((r.t, r.nf_est) for r in hyperball(edges, verts, max_t, p).collect())
+    target = q * rows[-1][1]
+    d = float(max_t)
+    for t, nf in rows:
+        if nf >= target:
+            if t == 0:
+                d = 0.0
+            else:
+                prev = rows[t - 1][1]
+                d = (t - 1) + (target - prev) / (nf - prev)
+            break
+    from decimal import ROUND_HALF_UP, Decimal
+
+    d6 = float(Decimal(repr(d)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+    return spark.createDataFrame([(q, d6)], "q double, d_eff double")

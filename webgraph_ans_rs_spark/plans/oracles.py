@@ -390,13 +390,42 @@ def hyperball_sql(max_t: int = 4, p: int = 6) -> str:
     in IEEE double), so the only cross-engine float freedom is libm ulps
     — far below the rounding."""
     m, alpha_mm, hs = _hll_common(p)
-    unions = " UNION ALL ".join(
+    return (
+        f"WITH {_clustered_ctes()},\n{_reach_ctes(max_t)},\n{hs}\n"
+        + _nf_unions(max_t, m, alpha_mm)
+    )
+
+
+def _nf_unions(max_t: int, m: int, alpha_mm: str) -> str:
+    return " UNION ALL ".join(
         f"SELECT {t} AS t, ROUND(SUM(est), 4) AS nf_est FROM ("
         + _hll_est_body(t, m, alpha_mm)
         + ") h2"
         for t in range(max_t + 1)
     )
-    return f"WITH {_clustered_ctes()},\n{_reach_ctes(max_t)},\n{hs}\n{unions}"
+
+
+def effective_diameter_sql(max_t: int = 4, p: int = 6, q: float = 0.9) -> str:
+    """Effective diameter at quantile q from the SAME 4dp-rounded NF
+    estimates the engine interpolates over — bit-identical inputs, the
+    same (t−1) + (target − NF(t−1))/(NF(t) − NF(t−1)) arithmetic, 6dp
+    rounding."""
+    m, alpha_mm, hs = _hll_common(p)
+    qr = repr(q)
+    return (
+        f"WITH {_clustered_ctes()},\n{_reach_ctes(max_t)},\n{hs},\n"
+        f"nfq AS ({_nf_unions(max_t, m, alpha_mm)}),\n"
+        f"tgt AS (SELECT CAST({qr} AS DOUBLE) *"
+        f" (SELECT nf_est FROM nfq WHERE t = {max_t}) AS x),\n"
+        f"hit AS (SELECT MIN(t) AS t FROM nfq"
+        f" WHERE nf_est >= (SELECT x FROM tgt))\n"
+        f"SELECT CAST({qr} AS DOUBLE) AS q,"
+        f" ROUND(CASE WHEN h.t = 0 THEN CAST(0.0 AS DOUBLE)"
+        f" ELSE (h.t - 1) + ((SELECT x FROM tgt) - pv.nf_est)"
+        f" / (c.nf_est - pv.nf_est) END, 6) AS d_eff"
+        f" FROM hit h LEFT JOIN nfq c ON c.t = h.t"
+        f" LEFT JOIN nfq pv ON pv.t = h.t - 1"
+    )
 
 
 def harmonic_centrality_sql(max_t: int = 4, p: int = 6) -> str:
