@@ -508,6 +508,15 @@ def _q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return effective_diameter(edges, verts, NF_MAX_T, p=HB_P, q=0.9)
 
 
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (trim + forward-max coloring +
+    backward sweep) on the clustered graph; scc_id = MIN member."""
+    from webgraph_ans_rs_spark.operators.scc import strongly_connected_components
+
+    edges, verts = _clustered(spark, sf_dir)
+    return strongly_connected_components(edges, verts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_count": _q_token_count,
@@ -556,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": _q_bfs_distances,
         "personalized_pagerank": _q_personalized_pagerank,
         "effective_diameter": _q_effective_diameter,
+        "scc": _q_scc,
     }
 
 
@@ -622,4 +632,5 @@ def oracle_sql() -> dict[str, str]:
             5, 0.85, BFS_SEED_MOD
         ),
         "effective_diameter": oracles.effective_diameter_sql(NF_MAX_T, HB_P, 0.9),
+        "scc": oracles.scc_sql(20),
     }

@@ -1,0 +1,144 @@
+"""Strongly connected components: trim + forward-max coloring + backward sweep.
+
+The distributed SCC recipe (Orzan-style coloring, the shape FW-BW/
+coloring papers converge on), expressed in joins and aggregations:
+
+1. **Trim**: a vertex with in-degree 0 (or out-degree 0) in the remaining
+   subgraph is a singleton SCC — peel iteratively. On web-ish graphs this
+   removes the tree-like mass cheaply and leaves only cycle-bearing cores.
+2. **Color**: propagate the MAX vertex id forward to a fixpoint:
+   color(v) = max{u : u →* v} (including v). Roots are vertices with
+   color(v) == v.
+3. **Backward sweep**: within each color class, vertices that can reach
+   their root form EXACTLY the root's SCC (any path from a color-r vertex
+   to r stays inside color r: every vertex w on it satisfies r →* w →* r,
+   so color(w) = r). Peel the found SCCs and repeat from 1.
+
+Every step is a vertex-keyed join or max-aggregation with map-side
+partials — no window functions, no label-keyed joins (the same reducer
+discipline as the large-star/small-star CC). Each fixpoint iteration
+costs one action for convergence detection; iterations are bounded by
+the remaining subgraph's diameter, and outer rounds by its "SCC-DAG
+depth" — small for web-shaped graphs after trimming.
+
+Output: (vertex, scc_id) with scc_id = MIN member id (canonical,
+matching the oracle's mutual-reachability MIN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NEG_INF = -(2**63)
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    verts: DataFrame,
+    max_rounds: int = 64,
+) -> DataFrame:
+    spark = edges.sparkSession
+    rem_v = verts.select("vertex").localCheckpoint(eager=True)
+    rem_e = edges.select("src", "dst").localCheckpoint(eager=True)
+    assigned = spark.createDataFrame([], "vertex long, root long")
+    for _ in range(max_rounds):
+        # -- 1. trim singleton SCCs (no in-edges or no out-edges) --------
+        while True:
+            has_in = rem_e.select(F.col("dst").alias("vertex")).distinct()
+            has_out = rem_e.select(F.col("src").alias("vertex")).distinct()
+            trivial = rem_v.join(has_in, "vertex", "left_anti").unionByName(
+                rem_v.join(has_out, "vertex", "left_anti")
+            ).distinct().localCheckpoint(eager=True)
+            if trivial.isEmpty():
+                break
+            assigned = assigned.unionByName(
+                trivial.select("vertex", F.col("vertex").alias("root"))
+            ).localCheckpoint(eager=True)
+            rem_v = rem_v.join(trivial, "vertex", "left_anti").localCheckpoint(
+                eager=True
+            )
+            rem_e = (
+                rem_e.join(
+                    trivial.withColumnRenamed("vertex", "src"), "src", "left_anti"
+                )
+                .join(trivial.withColumnRenamed("vertex", "dst"), "dst", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        if rem_v.isEmpty():
+            break
+        # -- 2. forward max coloring to fixpoint -------------------------
+        color = rem_v.select(
+            "vertex", F.col("vertex").alias("color")
+        ).localCheckpoint(eager=True)
+        while True:
+            cand = (
+                rem_e.join(color.withColumnRenamed("vertex", "src"), "src")
+                .groupBy("dst")
+                .agg(F.max("color").alias("c2"))
+                .withColumnRenamed("dst", "vertex")
+            )
+            new_color = (
+                color.join(cand, "vertex", "left")
+                .select(
+                    "vertex",
+                    F.greatest(
+                        F.col("color"), F.coalesce(F.col("c2"), F.lit(_NEG_INF))
+                    ).alias("color"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_color.join(
+                    color.withColumnRenamed("color", "old"), "vertex"
+                )
+                .where(F.col("color") != F.col("old"))
+                .isEmpty()
+            )
+            color = new_color
+            if changed:
+                break
+        # -- 3. backward sweep within each color class -------------------
+        mark = color.where(F.col("color") == F.col("vertex")).select(
+            "vertex"
+        ).localCheckpoint(eager=True)
+        cu = color.select(
+            F.col("vertex").alias("u"), F.col("color").alias("cu")
+        )
+        while True:
+            grown = (
+                rem_e.withColumnRenamed("dst", "u")
+                .join(mark.withColumnRenamed("vertex", "u"), "u")
+                .select(F.col("src").alias("vertex"), "u")
+                .join(color, "vertex")
+                .join(cu, "u")
+                .where(F.col("color") == F.col("cu"))
+                .select("vertex")
+                .distinct()
+            )
+            new = grown.join(mark, "vertex", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if new.isEmpty():
+                break
+            mark = mark.unionByName(new).localCheckpoint(eager=True)
+        found = color.join(mark, "vertex", "left_semi").select(
+            "vertex", F.col("color").alias("root")
+        )
+        assigned = assigned.unionByName(found).localCheckpoint(eager=True)
+        rem_v = rem_v.join(mark, "vertex", "left_anti").localCheckpoint(eager=True)
+        rem_e = (
+            rem_e.join(mark.withColumnRenamed("vertex", "src"), "src", "left_anti")
+            .join(mark.withColumnRenamed("vertex", "dst"), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if rem_v.isEmpty():
+            break
+    if not rem_v.isEmpty():
+        raise RuntimeError(
+            "strongly_connected_components: max_rounds exhausted with "
+            f"{rem_v.count()} vertices unassigned"
+        )
+    # canonical id: MIN member of each SCC
+    mins = assigned.groupBy("root").agg(F.min("vertex").alias("scc_id"))
+    return assigned.join(mins, "root").select("vertex", "scc_id")

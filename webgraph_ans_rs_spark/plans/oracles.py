@@ -525,3 +525,16 @@ def personalized_pagerank_sql(
         f"WITH {body}\n"
         f"SELECT vertex, ROUND(pr, {round_dp}) AS pr FROM p{num_iter}"
     )
+
+
+def scc_sql(max_t: int = 20) -> str:
+    """SCC ground truth from the bounded closure (clustered components
+    hold ≤ CLUSTER_GROUP=20 vertices, so depth-20 reachability IS the
+    closure): scc_id(v) = MIN u with v →* u AND u →* v (the (v,v) pair
+    from r0 guarantees every vertex appears)."""
+    return (
+        f"WITH {_clustered_ctes()},\n{_reach_ctes(max_t)}\n"
+        f"SELECT a.v AS vertex, MIN(a.u) AS scc_id\n"
+        f"FROM r{max_t} a JOIN r{max_t} b ON a.v = b.u AND a.u = b.v\n"
+        f"GROUP BY a.v"
+    )
