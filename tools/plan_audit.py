@@ -246,6 +246,21 @@ def main() -> int:
         and "Window" not in hb_plan,
     )
 
+    # 14. SCC coloring step: the forward MAX propagation is a map-side
+    # partial aggregation keyed by vertex id — never a window, never a
+    # join keyed on the converging color (the CC reducer discipline)
+    scc_color = vertices(docs).select("vertex", F.col("vertex").alias("color"))
+    scc_cand = (
+        edges.join(scc_color.withColumnRenamed("vertex", "src"), "src")
+        .groupBy("dst")
+        .agg(F.max("color").alias("c2"))
+    )
+    scc_plan = plan_of(scc_cand)
+    check(
+        "scc-coloring: partial_max propagation, no Window",
+        "partial_max" in scc_plan and "Window" not in scc_plan,
+    )
+
     failed = [c for c in checks if not c[1]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan properties hold")
     return 1 if failed else 0
