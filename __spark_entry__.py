@@ -632,5 +632,5 @@ def oracle_sql() -> dict[str, str]:
             5, 0.85, BFS_SEED_MOD
         ),
         "effective_diameter": oracles.effective_diameter_sql(NF_MAX_T, HB_P, 0.9),
-        "scc": oracles.scc_sql(20),
+        "scc": oracles.scc_sql(dg.CLUSTER_GROUP),
     }

@@ -249,13 +249,10 @@ def main() -> int:
     # 14. SCC coloring step: the forward MAX propagation is a map-side
     # partial aggregation keyed by vertex id — never a window, never a
     # join keyed on the converging color (the CC reducer discipline)
+    from webgraph_ans_rs_spark.operators.scc import _coloring_candidates
+
     scc_color = vertices(docs).select("vertex", F.col("vertex").alias("color"))
-    scc_cand = (
-        edges.join(scc_color.withColumnRenamed("vertex", "src"), "src")
-        .groupBy("dst")
-        .agg(F.max("color").alias("c2"))
-    )
-    scc_plan = plan_of(scc_cand)
+    scc_plan = plan_of(_coloring_candidates(edges, scc_color))
     check(
         "scc-coloring: partial_max propagation, no Window",
         "partial_max" in scc_plan and "Window" not in scc_plan,

@@ -41,20 +41,24 @@ def strongly_connected_components(
     spark = edges.sparkSession
     rem_v = verts.select("vertex").localCheckpoint(eager=True)
     rem_e = edges.select("src", "dst").localCheckpoint(eager=True)
-    assigned = spark.createDataFrame([], "vertex long, root long")
+    # accumulate (vertex, root) batches in a Python list and union ONCE at
+    # the end: re-checkpointing a growing `assigned` per peel iteration
+    # would re-materialize O(V) rows per trim level
+    batches: list[DataFrame] = []
     for _ in range(max_rounds):
         # -- 1. trim singleton SCCs (no in-edges or no out-edges) --------
         while True:
-            has_in = rem_e.select(F.col("dst").alias("vertex")).distinct()
-            has_out = rem_e.select(F.col("src").alias("vertex")).distinct()
+            # no distinct: left_anti semantics ignore build-side dups
+            has_in = rem_e.select(F.col("dst").alias("vertex"))
+            has_out = rem_e.select(F.col("src").alias("vertex"))
             trivial = rem_v.join(has_in, "vertex", "left_anti").unionByName(
                 rem_v.join(has_out, "vertex", "left_anti")
             ).distinct().localCheckpoint(eager=True)
             if trivial.isEmpty():
                 break
-            assigned = assigned.unionByName(
+            batches.append(
                 trivial.select("vertex", F.col("vertex").alias("root"))
-            ).localCheckpoint(eager=True)
+            )
             rem_v = rem_v.join(trivial, "vertex", "left_anti").localCheckpoint(
                 eager=True
             )
@@ -72,12 +76,7 @@ def strongly_connected_components(
             "vertex", F.col("vertex").alias("color")
         ).localCheckpoint(eager=True)
         while True:
-            cand = (
-                rem_e.join(color.withColumnRenamed("vertex", "src"), "src")
-                .groupBy("dst")
-                .agg(F.max("color").alias("c2"))
-                .withColumnRenamed("dst", "vertex")
-            )
+            cand = _coloring_candidates(rem_e, color)
             new_color = (
                 color.join(cand, "vertex", "left")
                 .select(
@@ -88,7 +87,7 @@ def strongly_connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
+            converged = (
                 new_color.join(
                     color.withColumnRenamed("color", "old"), "vertex"
                 )
@@ -96,19 +95,23 @@ def strongly_connected_components(
                 .isEmpty()
             )
             color = new_color
-            if changed:
+            if converged:
                 break
         # -- 3. backward sweep within each color class -------------------
+        # frontier pattern (same as operators/bfs.py): expand only the
+        # NEW vertices each step — joining the whole mark set per
+        # iteration would be O(k²) for a k-step sweep
         mark = color.where(F.col("color") == F.col("vertex")).select(
             "vertex"
         ).localCheckpoint(eager=True)
+        frontier = mark
         cu = color.select(
             F.col("vertex").alias("u"), F.col("color").alias("cu")
         )
         while True:
             grown = (
                 rem_e.withColumnRenamed("dst", "u")
-                .join(mark.withColumnRenamed("vertex", "u"), "u")
+                .join(frontier.withColumnRenamed("vertex", "u"), "u")
                 .select(F.col("src").alias("vertex"), "u")
                 .join(color, "vertex")
                 .join(cu, "u")
@@ -122,10 +125,11 @@ def strongly_connected_components(
             if new.isEmpty():
                 break
             mark = mark.unionByName(new).localCheckpoint(eager=True)
+            frontier = new
         found = color.join(mark, "vertex", "left_semi").select(
             "vertex", F.col("color").alias("root")
         )
-        assigned = assigned.unionByName(found).localCheckpoint(eager=True)
+        batches.append(found.localCheckpoint(eager=True))
         rem_v = rem_v.join(mark, "vertex", "left_anti").localCheckpoint(eager=True)
         rem_e = (
             rem_e.join(mark.withColumnRenamed("vertex", "src"), "src", "left_anti")
@@ -139,6 +143,24 @@ def strongly_connected_components(
             "strongly_connected_components: max_rounds exhausted with "
             f"{rem_v.count()} vertices unassigned"
         )
+    assigned = batches[0] if batches else spark.createDataFrame(
+        [], "vertex long, root long"
+    )
+    for b in batches[1:]:
+        assigned = assigned.unionByName(b)
     # canonical id: MIN member of each SCC
     mins = assigned.groupBy("root").agg(F.min("vertex").alias("scc_id"))
     return assigned.join(mins, "root").select("vertex", "scc_id")
+
+
+def _coloring_candidates(rem_e: DataFrame, color: DataFrame) -> DataFrame:
+    """One forward MAX-propagation step: per dst, the max color among its
+    in-neighbors. Map-side partial max, keyed by vertex id — never a
+    window, never a join keyed on the converging color (audited by
+    tools/plan_audit.py check 16 against THIS function)."""
+    return (
+        rem_e.join(color.withColumnRenamed("vertex", "src"), "src")
+        .groupBy("dst")
+        .agg(F.max("color").alias("c2"))
+        .withColumnRenamed("dst", "vertex")
+    )
