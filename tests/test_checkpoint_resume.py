@@ -46,3 +46,23 @@ def test_cc_with_checkpoints(spark):
         }
         assert got == want
         assert len(cm.committed_iterations("cc")) >= 1
+
+
+def test_cc_resume_at_fixpoint_returns_labels(spark):
+    """Resuming a previously-COMPLETED run with max_rounds == the last
+    committed round (empty round range) must recognize the checkpointed
+    edge set as a fixpoint and return labels — not raise 'no convergence'
+    (round-4 ADVICE: components.py resume-at-fixpoint)."""
+    edges, verts, es, n = seeded_random_graph(spark, n=80, m=90)
+    want = {r.vertex: r.component for r in connected_components(edges, verts).collect()}
+    with tempfile.TemporaryDirectory() as root:
+        cm = CheckpointManager(spark, root)
+        connected_components(edges, verts, checkpoint_manager=cm).collect()
+        last = max(cm.committed_iterations("cc"))
+        got = {
+            r.vertex: r.component
+            for r in connected_components(
+                edges, verts, max_rounds=last, checkpoint_manager=cm
+            ).collect()
+        }
+        assert got == want

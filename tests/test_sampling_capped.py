@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from webgraph_ans_rs_spark.operators.sampling import (
     _rank_hex,
     _topk_per_seed,
+    choose_salts,
     khop_neighbors,
     khop_neighbors_capped,
 )
@@ -70,6 +71,40 @@ def test_pagerank_dense_relabel_matches_plain(spark):
     }
     assert set(a) == set(b)
     assert max(abs(a[k] - b[k]) for k in a) < 1e-12
+
+
+def test_choose_salts_bounds_stage1_buffer():
+    """The stats-pass salt count keeps per-(seed,salt) stage-1 buffers ≤
+    ~target_buffer: candidates/n_salts ≤ target for the hub bound, and no
+    salting overhead when the graph can't produce big groups."""
+    assert choose_salts(max_outdeg=100, max_per_hop=8, pct=100) == 1
+    n = choose_salts(max_outdeg=200_000, max_per_hop=8, pct=100, target_buffer=4096)
+    assert (8 * 200_000) / n <= 2 * 4096  # power-of-two rounding ≤ 2× target
+    assert n <= 1024
+    # monotone in the candidate bound; pct scales it down
+    assert choose_salts(10**7, 8, 100) >= choose_salts(10**7, 8, 10)
+
+
+def test_capped_auto_salts_equals_fixed_salts(spark):
+    """The result is independent of the chosen salt count (the global top-K
+    is contained in every salted partition of the candidates) — so the
+    stats-driven n_salts=None path must return exactly the fixed-salt
+    result."""
+    edges, _, _, _ = seeded_random_graph(spark, n=100, m=1500)
+    seeds = spark.createDataFrame([(i,) for i in range(0, 100, 7)], "seed long")
+    auto = sorted(
+        (r.seed, r.vertex, r.hop)
+        for r in khop_neighbors_capped(
+            edges, seeds, k=2, pct=50, max_per_hop=3
+        ).collect()
+    )
+    fixed = sorted(
+        (r.seed, r.vertex, r.hop)
+        for r in khop_neighbors_capped(
+            edges, seeds, k=2, pct=50, max_per_hop=3, n_salts=8
+        ).collect()
+    )
+    assert auto == fixed
 
 
 def test_capped_subset_of_uncapped_first_hop(spark):

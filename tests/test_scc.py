@@ -98,3 +98,35 @@ def _tarjan(n, es):
 def test_scc_matches_tarjan_on_seeded_graph(spark):
     edges, verts, es, n = seeded_random_graph(spark)
     assert _got(edges, verts) == _tarjan(n, es)
+
+
+def test_scc_giant_component_plus_singleton_mass(spark):
+    """The web-shaped skew fixture the round-3 verdict asked for: ONE giant
+    SCC (hub-and-spoke, diameter 2 — 0→i and i→0, so all of 0..G-1 are
+    mutually reachable through the hub) holding the majority of non-trivial
+    vertices, plus a large singleton mass. The giant root's finalization
+    must go through the broadcast path (plan_audit check 18 pins the
+    shape); this pins the VALUES."""
+    G, S = 1500, 4000
+    hub_edges = [(0, i) for i in range(1, G)] + [(i, 0) for i in range(1, G)]
+    edges = spark.createDataFrame(hub_edges, "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(G + S)], "vertex long")
+    got = _got(edges, verts)
+    assert all(got[v] == 0 for v in range(G))
+    assert all(got[v] == v for v in range(G, G + S))
+
+
+def test_finalize_assignments_broadcasts_giants(spark):
+    """finalize_assignments resolves every root when #roots exceeds the
+    broadcast top-K (the remainder path) and is exact on ties."""
+    from webgraph_ans_rs_spark.operators.scc import finalize_assignments
+
+    # 200 roots (> GIANT_ROOTS_TOP_K=64), sizes 1..; root r holds vertices
+    # {r*1000 .. r*1000+r} with root label = max member (coloring emits max)
+    rows = [
+        (r * 1000 + j, r * 1000 + r) for r in range(200) for j in range(r % 5 + 1)
+    ]
+    assigned = spark.createDataFrame(rows, "vertex long, root long")
+    got = {r.vertex: r.scc_id for r in finalize_assignments(assigned).collect()}
+    want = {v: (root - root % 1000) for v, root in rows}
+    assert got == want

@@ -258,6 +258,53 @@ def main() -> int:
         "partial_max" in scc_plan and "Window" not in scc_plan,
     )
 
+    # 17. personalized PageRank superstep: inherits the flagship loop's
+    # single-exchange discipline — exactly ONE exchange (the gather), no
+    # sorts, both the scatter and the teleport-apply joins shuffle-hash
+    # over co-partitioned sides
+    from webgraph_ans_rs_spark.operators.pagerank import ppr_superstep_probe
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        ppr_seeds = vertices(docs).limit(5).select("vertex")
+        ppr2 = ppr_superstep_probe(edges, vertices(docs), ppr_seeds)
+        jplan = ppr2._jdf.queryExecution().executedPlan()
+        n_exchange = count_nodes(jplan, "Exchange")
+        n_sort = count_nodes(jplan, "Sort")
+        n_shj = count_nodes(jplan, "ShuffledHashJoin")
+        check(
+            "ppr-superstep: exactly 1 exchange, 0 sorts, shuffle-hash joins",
+            n_exchange == 1 and n_sort == 0 and n_shj == 2,
+            f"(exchanges={n_exchange} sorts={n_sort} shj={n_shj})",
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
+    # 18. SCC finalization: the giant-root path must be a BROADCAST join
+    # (the engine's only label-keyed join otherwise funnels the giant
+    # SCC's ~25%-of-V rows through one shuffle partition), and the
+    # per-root (size, min) canonicalization must be map-side partial
+    from webgraph_ans_rs_spark.operators.scc import finalize_assignments
+
+    assigned_probe = vertices(docs).select(
+        "vertex", (F.col("vertex") % 7).alias("root")
+    )
+    # the (size, min) canonicalization agg is checkpointed inside
+    # finalize_assignments, so its partial-agg shape is audited on the
+    # same expression separately
+    stats_plan = plan_of(
+        assigned_probe.groupBy("root").agg(
+            F.count("*").alias("n"), F.min("vertex").alias("scc_id")
+        )
+    )
+    fin_plan = plan_of(finalize_assignments(assigned_probe))
+    check(
+        "scc-finalize: giant roots via BroadcastHashJoin, partial_min agg",
+        "BroadcastHashJoin" in fin_plan
+        and "Window" not in fin_plan
+        and "partial_min" in stats_plan,
+    )
+
     failed = [c for c in checks if not c[1]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan properties hold")
     return 1 if failed else 0

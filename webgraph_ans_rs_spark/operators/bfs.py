@@ -43,6 +43,11 @@ def bfs_distances(
             .select("vertex", F.lit(t).alias("dist"))
             .localCheckpoint(eager=True)
         )
+        # early exit: an empty frontier means every remaining level would
+        # schedule dead join+anti-join+checkpoint jobs — callers routinely
+        # pass a generous depth budget (the SCC backward sweep's discipline)
+        if new.isEmpty():
+            break
         dist = dist.unionByName(new).localCheckpoint(eager=True)
         frontier = new.select("vertex")
     return dist

@@ -101,31 +101,9 @@ def connected_components(
     e = repart(e).localCheckpoint(eager=True)
 
     sig = _edge_signature(e)
+    converged = False
     for rnd in range(start_round + 1, max_rounds + 1):
-        # --- large-star ---------------------------------------------------
-        sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        mins = (
-            sym.groupBy("src")
-            .agg(F.min("dst").alias("mn"))
-            .select("src", F.least("mn", "src").alias("m"))
-        )
-        large = (
-            sym.where(F.col("dst") > F.col("src"))
-            .join(mins, "src")
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .dropDuplicates(["src", "dst"])
-        )
-        # --- small-star ---------------------------------------------------
-        # input edges are big→small already (large-star emits v > m)
-        smins = large.groupBy("src").agg(F.min("dst").alias("m"))
-        attached = (
-            large.join(smins, "src")
-            .where(F.col("dst") != F.col("m"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        )
-        centers = smins.select("src", F.col("m").alias("dst"))
-        e_new = repart(attached.unionAll(centers).dropDuplicates(["src", "dst"]))
-        e_new = e_new.localCheckpoint(eager=True)
+        e_new = _star_round(e, repart).localCheckpoint(eager=True)
         new_sig = _edge_signature(e_new)
         e = e_new
         if checkpoint_manager is not None:
@@ -133,18 +111,54 @@ def connected_components(
                 job_id, rnd, e, {"edges": new_sig[0]}, params=ckpt_params
             )
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
-    else:
-        # the loop ran out of rounds before the edge-set signature reached a
-        # fixpoint: _star_labels over a non-star edge set can emit multiple
-        # rows per vertex and non-minimal labels — fail loudly, don't return
-        # silently-wrong components (large/small-star converges in
-        # O(log^2 n) rounds, so a realistic max_rounds never trips this)
-        raise RuntimeError(
-            f"connected_components: no convergence within max_rounds={max_rounds}"
-        )
+    if not converged:
+        # Either the loop exhausted max_rounds, or a resume landed at
+        # start_round == max_rounds (empty round range — e.g. re-running a
+        # job whose previous run converged exactly at its last round). The
+        # snapshot may already BE the fixpoint: probe one round lazily and
+        # accept if the signature is stable; otherwise fail loudly —
+        # _star_labels over a non-star edge set can emit multiple rows per
+        # vertex and non-minimal labels (large/small-star converges in
+        # O(log^2 n) rounds, so a realistic max_rounds only trips this on
+        # resume-at-fixpoint).
+        if _edge_signature(_star_round(e, repart)) == sig:
+            converged = True
+        else:
+            raise RuntimeError(
+                f"connected_components: no convergence within max_rounds={max_rounds}"
+            )
     return _star_labels(e, verts)
+
+
+def _star_round(e: DataFrame, repart) -> DataFrame:
+    """One alternating large-star + small-star round over a canonical
+    big→small edge set; returns the new big→small edge set (lazy)."""
+    # --- large-star -------------------------------------------------------
+    sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", "src").alias("m"))
+    )
+    large = (
+        sym.where(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    # --- small-star -------------------------------------------------------
+    # input edges are big→small already (large-star emits v > m)
+    smins = large.groupBy("src").agg(F.min("dst").alias("m"))
+    attached = (
+        large.join(smins, "src")
+        .where(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    centers = smins.select("src", F.col("m").alias("dst"))
+    return repart(attached.unionAll(centers).dropDuplicates(["src", "dst"]))
 
 
 def connected_components_pointer_jump(

@@ -111,6 +111,55 @@ def superstep_probe(
     return _superstep_frame(csr, ranks, zeros, base, damping)
 
 
+def ppr_superstep_probe(
+    edges: DataFrame,
+    verts: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Un-executed superstep-2 frame of the personalized loop, built on the
+    production shapes (superstep 1 executed + checkpointed exactly as the
+    loop does) — for tools/plan_audit.py check 17: the PPR superstep must
+    plan exactly ONE exchange (the gather), like the uniform loop."""
+    spark = edges.sparkSession
+    p = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_seeds = seeds.count()
+    s_val = 1.0 / n_seeds
+    sv = (
+        verts.join(
+            seeds.select("vertex").withColumn("_is_seed", F.lit(True)), "vertex", "left"
+        )
+        .select(
+            "vertex",
+            F.when(F.col("_is_seed"), F.lit(s_val)).otherwise(F.lit(0.0)).alias("s"),
+        )
+        .repartition(p, "vertex")
+        .persist()
+    )
+    sv.count()
+    csr = (
+        edges.groupBy("src")
+        .agg(F.collect_list("dst").alias("dsts"), F.count("*").alias("od"))
+        .select("src", "dsts", (F.lit(1.0) / F.col("od")).alias("w"))
+        .repartition(p, "src")
+        .persist()
+    )
+    csr.count()
+    zeros = verts.select("vertex", F.lit(0.0).alias("c")).persist()
+    zeros.count()
+    pr = (
+        sv.select("vertex", F.col("s").alias("pr"))
+        .repartition(p, "vertex")
+        .localCheckpoint(eager=True)
+    )
+    coef = 1.0 - damping
+    pr = _ppr_superstep_frame(csr, pr, zeros, sv, coef, damping).localCheckpoint(
+        eager=True
+    )
+    return _ppr_superstep_frame(csr, pr, zeros, sv, coef, damping)
+
+
 def pagerank(
     edges: DataFrame,
     verts: DataFrame,
@@ -173,48 +222,50 @@ def pagerank(
     # exchange: the E-sized gather (verified: tools/plan_audit.py check 9).
     coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
     coalesce_prev = spark.conf.get(coalesce_key, "true")
-    spark.conf.set(coalesce_key, "false")
 
     ids = None
-    if dense_relabel:
-        from .graph_build import dense_ids
-
-        ids = dense_ids(verts, num_partitions=p).persist()
-        ids.count()
-        edges = (
-            edges.join(
-                ids.select(F.col("vertex").alias("src"), F.col("dense_id").alias("s")),
-                "src",
-            )
-            .join(
-                ids.select(F.col("vertex").alias("dst"), F.col("dense_id").alias("d")),
-                "dst",
-            )
-            .select(F.col("s").alias("src"), F.col("d").alias("dst"))
-        )
-        verts = ids.select(F.col("dense_id").alias("vertex"))
-
-    if max_segment is not None:
-        from .graph_build import build_csr_segments
-
-        csr_base = build_csr_segments(edges, max_segment).withColumnRenamed(
-            "outdeg", "od"
-        )
-    else:
-        csr_base = edges.groupBy("src").agg(
-            F.collect_list("dst").alias("dsts"), F.count("*").alias("od")
-        )
-    csr = (
-        csr_base.select("src", "dsts", (F.lit(1.0) / F.col("od")).alias("w"))
-        .repartition(p, "src")
-        .persist()
-    )
+    csr = None
     dangling_verts = None
     zeros = None
-    # try/finally: a mid-loop failure must not leave AQE partition
-    # coalescing disabled for the whole session, nor leak the cached
-    # loop invariants
+    # try/finally: a failure ANYWHERE after the conf snapshot — including
+    # the dense-relabel materialization and the CSR build — must not leave
+    # AQE partition coalescing disabled for the whole session, nor leak
+    # the cached loop invariants
     try:
+        spark.conf.set(coalesce_key, "false")
+        if dense_relabel:
+            from .graph_build import dense_ids
+
+            ids = dense_ids(verts, num_partitions=p).persist()
+            ids.count()
+            edges = (
+                edges.join(
+                    ids.select(F.col("vertex").alias("src"), F.col("dense_id").alias("s")),
+                    "src",
+                )
+                .join(
+                    ids.select(F.col("vertex").alias("dst"), F.col("dense_id").alias("d")),
+                    "dst",
+                )
+                .select(F.col("s").alias("src"), F.col("d").alias("dst"))
+            )
+            verts = ids.select(F.col("dense_id").alias("vertex"))
+
+        if max_segment is not None:
+            from .graph_build import build_csr_segments
+
+            csr_base = build_csr_segments(edges, max_segment).withColumnRenamed(
+                "outdeg", "od"
+            )
+        else:
+            csr_base = edges.groupBy("src").agg(
+                F.collect_list("dst").alias("dsts"), F.count("*").alias("od")
+            )
+        csr = (
+            csr_base.select("src", "dsts", (F.lit(1.0) / F.col("od")).alias("w"))
+            .repartition(p, "src")
+            .persist()
+        )
         csr.count()
         # zero-contribution seed row per vertex: folds the "apply" outer
         # join into the gather shuffle (IEEE x+0.0 == x keeps values
@@ -296,7 +347,8 @@ def pagerank(
             ).select(F.col("orig").alias("vertex"), "pr").localCheckpoint(eager=True)
     finally:
         spark.conf.set(coalesce_key, coalesce_prev)
-        csr.unpersist()
+        if csr is not None:
+            csr.unpersist()
         if zeros is not None:
             zeros.unpersist()
         if dangling_verts is not None:
@@ -313,12 +365,33 @@ def pagerank(
     )
 
 
+def _ppr_superstep_frame(csr, pr, zeros, sv, coef: float, damping: float) -> DataFrame:
+    """One PPR superstep on the SAME single-exchange discipline as the
+    flagship loop: scatter (exchange-free shuffle-hash join on the
+    co-partitioned CSR + narrow explode), gather (the ONE per-superstep
+    shuffle: groupBy(vertex).sum over the explode output ∪ zero rows),
+    apply (exchange-free shuffle-hash join of the gather output against
+    the co-partitioned teleport vector — both sides HashPartitioning
+    (vertex, P), so no exchange and no sort)."""
+    scattered = csr.join(
+        pr.hint("shuffle_hash"), csr["src"] == pr["vertex"]
+    ).select(F.explode("dsts").alias("vertex"), (F.col("pr") * F.col("w")).alias("c"))
+    gathered = (
+        scattered.unionAll(zeros).groupBy("vertex").agg(F.sum("c").alias("g"))
+    )
+    return gathered.join(sv.hint("shuffle_hash"), "vertex").select(
+        "vertex",
+        (F.lit(coef) * F.col("s") + F.lit(damping) * F.col("g")).alias("pr"),
+    )
+
+
 def personalized_pagerank(
     edges: DataFrame,
     verts: DataFrame,
     seeds: DataFrame,
     damping: float = 0.85,
     num_iter: int = 5,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Personalized PageRank (the TrustRank shape: teleport restricted to
     a trusted seed set) — (vertex, pr) after ``num_iter`` exact power
@@ -327,16 +400,19 @@ def personalized_pagerank(
         pr_{i+1}(v) = ((1−d) + d·dm_i) · s(v) + d · Σ_{u→v} pr_i(u)/outdeg(u)
 
     with dangling mass dm redistributed to the seeds (the personalized
-    analogue of uniform redistribution). Plan shape: the gather is an
-    edge join + groupBy(dst) SUM with map-side partials (hub-safe); the
-    apply joins the loop-invariant seed vector (verts-sized, cached).
-    Two exchanges per superstep — the flagship `pagerank` loop's
-    co-partitioned single-exchange machinery applies identically if this
-    becomes a hot path; kept simple here because PPR runs are typically
-    few-iteration and seed-sparse. Driver-side scalars mirror the uniform
-    loop's float-op order so the DuckDB oracle replays identical IEEE
-    arithmetic (gate query `personalized_pagerank`, rounded 6dp)."""
+    analogue of uniform redistribution). Plan shape: INHERITS the flagship
+    ``pagerank`` loop's co-partitioned single-exchange superstep (round-3
+    verdict item 6) — the cached CSR is hash-partitioned on src with P
+    partitions, rank state and the teleport vector on vertex with the same
+    P, AQE partition coalescing is suspended inside the loop, and
+    shuffle_hash hints remove the SortMergeJoin sorts; the teleport apply
+    rides a second exchange-free co-partitioned join (tools/plan_audit.py
+    check 17 asserts exactly one exchange per superstep). Driver-side
+    scalars mirror the uniform loop's float-op order; per-vertex sums are
+    order-free to ~1e-16 and the gate rounds 6dp
+    (gate query `personalized_pagerank`)."""
     spark = edges.sparkSession
+    p = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # normalize the seed set BEFORE sizing the teleport: duplicate seed
     # rows or seeds outside the vertex universe would otherwise inflate
     # n_seeds while sv sums to < 1 — silently losing teleport mass
@@ -349,34 +425,47 @@ def personalized_pagerank(
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
     s_val = 1.0 / n_seeds
-    sv = (
-        verts.join(
-            seeds.select("vertex").withColumn("_is_seed", F.lit(True)),
-            "vertex",
-            "left",
-        )
-        .select(
-            "vertex",
-            F.when(F.col("_is_seed"), F.lit(s_val)).otherwise(F.lit(0.0)).alias("s"),
-        )
-        .persist()
-    )
-    ew = (
-        edges.join(
-            edges.groupBy("src").agg((F.lit(1.0) / F.count("*")).alias("w")),
-            "src",
-        )
-        .select("src", "dst", "w")
-        .persist()
-    )
-    dangling_verts = verts.join(
-        ew.select(F.col("src").alias("vertex")), "vertex", "left_anti"
-    ).persist()
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    coalesce_prev = spark.conf.get(coalesce_key, "true")
+    sv = None
+    csr = None
+    zeros = None
+    dangling_verts = None
     try:
+        spark.conf.set(coalesce_key, "false")
+        sv = (
+            verts.join(
+                seeds.select("vertex").withColumn("_is_seed", F.lit(True)),
+                "vertex",
+                "left",
+            )
+            .select(
+                "vertex",
+                F.when(F.col("_is_seed"), F.lit(s_val)).otherwise(F.lit(0.0)).alias("s"),
+            )
+            .repartition(p, "vertex")
+            .persist()
+        )
         sv.count()
-        ew.count()
+        csr = (
+            edges.groupBy("src")
+            .agg(F.collect_list("dst").alias("dsts"), F.count("*").alias("od"))
+            .select("src", "dsts", (F.lit(1.0) / F.col("od")).alias("w"))
+            .repartition(p, "src")
+            .persist()
+        )
+        csr.count()
+        zeros = verts.select("vertex", F.lit(0.0).alias("c")).persist()
+        zeros.count()
+        dangling_verts = verts.join(
+            csr.select(F.col("src").alias("vertex")), "vertex", "left_anti"
+        ).persist()
         has_dangling = dangling_verts.count() > 0
-        pr = sv.select("vertex", F.col("s").alias("pr")).localCheckpoint(eager=True)
+        pr = (
+            sv.select("vertex", F.col("s").alias("pr"))
+            .repartition(p, "vertex")
+            .localCheckpoint(eager=True)
+        )
         for _ in range(num_iter):
             dm = (
                 pr.join(dangling_verts, "vertex", "left_semi")
@@ -386,25 +475,12 @@ def personalized_pagerank(
                 else 0.0
             )
             coef = (1.0 - damping) + damping * dm
-            g = (
-                ew.join(pr.withColumnRenamed("vertex", "src"), "src")
-                .groupBy("dst")
-                .agg(F.sum(F.col("pr") * F.col("w")).alias("g"))
-                .withColumnRenamed("dst", "vertex")
-            )
-            pr = (
-                sv.join(g, "vertex", "left")
-                .select(
-                    "vertex",
-                    (
-                        F.lit(coef) * F.col("s")
-                        + F.lit(damping) * F.coalesce(F.col("g"), F.lit(0.0))
-                    ).alias("pr"),
-                )
-                .localCheckpoint(eager=True)
-            )
+            pr = _ppr_superstep_frame(
+                csr, pr, zeros, sv, coef, damping
+            ).localCheckpoint(eager=True)
         return pr
     finally:
-        sv.unpersist()
-        ew.unpersist()
-        dangling_verts.unpersist()
+        spark.conf.set(coalesce_key, coalesce_prev)
+        for c in (sv, csr, zeros, dangling_verts):
+            if c is not None:
+                c.unpersist()

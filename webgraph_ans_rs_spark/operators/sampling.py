@@ -17,6 +17,8 @@ rates are approximate by nature.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -48,25 +50,32 @@ def khop_neighbors(
     sampled = sample_edges(edges, pct).select("src", "dst")
     if k > 1:
         sampled = sampled.persist()
-    frontier = seeds.select(F.col("seed"), F.col("seed").alias("v"))
-    reached = None
-    for hop in range(1, k + 1):
-        frontier = (
-            frontier.join(sampled, frontier["v"] == sampled["src"])
-            .select("seed", F.col("dst").alias("v"))
-            .dropDuplicates(["seed", "v"])
+    # try/finally: a failed per-hop action must not leak the cached sample
+    # for the session lifetime
+    try:
+        frontier = seeds.select(F.col("seed"), F.col("seed").alias("v"))
+        reached = None
+        for hop in range(1, k + 1):
+            frontier = (
+                frontier.join(sampled, frontier["v"] == sampled["src"])
+                .select("seed", F.col("dst").alias("v"))
+                .dropDuplicates(["seed", "v"])
+            )
+            layer = frontier.select(
+                "seed", F.col("v").alias("vertex"), F.lit(hop).alias("hop")
+            )
+            reached = layer if reached is None else reached.unionAll(layer)
+        out = (
+            reached.where(F.col("vertex") != F.col("seed"))
+            .groupBy("seed", "vertex")
+            .agg(F.min("hop").cast("int").alias("hop"))
         )
-        layer = frontier.select("seed", F.col("v").alias("vertex"), F.lit(hop).alias("hop"))
-        reached = layer if reached is None else reached.unionAll(layer)
-    out = (
-        reached.where(F.col("vertex") != F.col("seed"))
-        .groupBy("seed", "vertex")
-        .agg(F.min("hop").cast("int").alias("hop"))
-    )
-    if k > 1:
-        out = out.localCheckpoint(eager=True)
-        sampled.unpersist()
-    return out
+        if k > 1:
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if k > 1:
+            sampled.unpersist()
 
 
 def _rank_hex(seed_col, v_col):
@@ -75,6 +84,23 @@ def _rank_hex(seed_col, v_col):
     return F.md5(
         F.concat_ws("|", seed_col.cast("string"), v_col.cast("string")).cast("binary")
     )
+
+
+def choose_salts(
+    max_outdeg: int, max_per_hop: int, pct: int, target_buffer: int = 4096
+) -> int:
+    """Stats-pass-driven salt count for the capped top-K (the same
+    histogram→parameter discipline as plans/layout.choose_layout): a hop's
+    per-seed candidate set is bounded by frontier × hottest sampled
+    out-degree ≈ max_per_hop · max_outdeg · pct/100, and stage 1 buffers
+    ~candidates/n_salts structs per (seed, salt) group — so pick the
+    power-of-two salt count that keeps that buffer ≤ ~target_buffer
+    (a shuffle-partition's worth, the csr_max_segment analogue), clamped
+    to [1, 1024]."""
+    cand_bound = max(1, int(max_per_hop * max_outdeg * (pct / 100.0)))
+    if cand_bound <= target_buffer:
+        return 1
+    return min(1024, 2 ** math.ceil(math.log2(cand_bound / target_buffer)))
 
 
 def _topk_per_seed(cand: DataFrame, k_cap: int, n_salts: int = 32) -> DataFrame:
@@ -108,35 +134,55 @@ def khop_neighbors_capped(
     k: int = 2,
     pct: int = 30,
     max_per_hop: int = 8,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """(seed, vertex, hop) — like ``khop_neighbors`` but each hop's frontier
     is capped at ``max_per_hop`` vertices PER SEED, chosen deterministically
     as the smallest md5('seed|v') ranks — the real GNN-loader shape
     (GraphSAGE-style fixed fan-out): without the cap one hub neighbor pulls
     its entire sampled adjacency into a single seed's frontier. The top-K
-    is an exact salted two-stage aggregation (no per-seed window sort).
-    Deterministic: a pure function of (edges, seeds, k, pct, max_per_hop),
-    so a SQL oracle regenerates it exactly."""
+    is an exact salted two-stage aggregation (no per-seed window sort);
+    ``n_salts=None`` derives the salt count from a degree stats pass over
+    the sampled edge set (``choose_salts``), so the stage-1 agg buffers are
+    bounded by ~target_buffer structs regardless of how hubby the graph is.
+    The RESULT is independent of n_salts (the global top-K is contained in
+    the union of per-salt top-Ks for any salt count), so the stats pass
+    never perturbs determinism: output is a pure function of
+    (edges, seeds, k, pct, max_per_hop) and a SQL oracle regenerates it."""
     sampled = sample_edges(edges, pct).select("src", "dst")
     if k > 1:
         sampled = sampled.persist()
-    frontier = seeds.select(F.col("seed"), F.col("seed").alias("v"))
-    reached = None
-    for hop in range(1, k + 1):
-        cand = (
-            frontier.join(sampled, frontier["v"] == sampled["src"])
-            .select("seed", F.col("dst").alias("v"))
-            .dropDuplicates(["seed", "v"])
+    # try/finally: a failed per-hop action must not leak the cached sample
+    try:
+        if n_salts is None:
+            max_outdeg = (
+                sampled.groupBy("src")
+                .agg(F.count("*").alias("c"))
+                .agg(F.coalesce(F.max("c"), F.lit(0)))
+                .first()[0]
+            )
+            n_salts = choose_salts(max_outdeg, max_per_hop, pct=100)
+        frontier = seeds.select(F.col("seed"), F.col("seed").alias("v"))
+        reached = None
+        for hop in range(1, k + 1):
+            cand = (
+                frontier.join(sampled, frontier["v"] == sampled["src"])
+                .select("seed", F.col("dst").alias("v"))
+                .dropDuplicates(["seed", "v"])
+            )
+            frontier = _topk_per_seed(cand, max_per_hop, n_salts)
+            layer = frontier.select(
+                "seed", F.col("v").alias("vertex"), F.lit(hop).alias("hop")
+            )
+            reached = layer if reached is None else reached.unionAll(layer)
+        out = (
+            reached.where(F.col("vertex") != F.col("seed"))
+            .groupBy("seed", "vertex")
+            .agg(F.min("hop").cast("int").alias("hop"))
         )
-        frontier = _topk_per_seed(cand, max_per_hop)
-        layer = frontier.select("seed", F.col("v").alias("vertex"), F.lit(hop).alias("hop"))
-        reached = layer if reached is None else reached.unionAll(layer)
-    out = (
-        reached.where(F.col("vertex") != F.col("seed"))
-        .groupBy("seed", "vertex")
-        .agg(F.min("hop").cast("int").alias("hop"))
-    )
-    if k > 1:
-        out = out.localCheckpoint(eager=True)
-        sampled.unpersist()
-    return out
+        if k > 1:
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if k > 1:
+            sampled.unpersist()
