@@ -462,6 +462,18 @@ def _q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperball(edges, verts, NF_MAX_T, p=HB_P)
 
 
+def _q_hyperball_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall on the array-packed register layout (the p=10+ scale
+    path: one array<int> column, explicit Arrow-batched map-side combine,
+    zip_with(greatest) final merge) — bit-identical estimates to the
+    column layout at equal p, so it runs under the SAME oracle as
+    `hyperball`."""
+    from webgraph_ans_rs_spark.operators.neighborhood import hyperball_packed
+
+    edges, verts = _clustered(spark, sf_dir)
+    return hyperball_packed(edges, verts, NF_MAX_T, p=HB_P)
+
+
 def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated harmonic centrality via HyperBall registers — the
     algorithm's flagship application; per-vertex, left-to-right
@@ -561,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": _q_host_graph,
         "neighborhood_function": _q_neighborhood_function,
         "hyperball": _q_hyperball,
+        "hyperball_packed": _q_hyperball_packed,
         "harmonic_centrality": _q_harmonic_centrality,
         "bfs_distances": _q_bfs_distances,
         "personalized_pagerank": _q_personalized_pagerank,
@@ -626,6 +639,7 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": oracles.host_graph_sql(),
         "neighborhood_function": oracles.neighborhood_function_sql(NF_MAX_T),
         "hyperball": oracles.hyperball_sql(NF_MAX_T, HB_P),
+        "hyperball_packed": oracles.hyperball_sql(NF_MAX_T, HB_P),
         "harmonic_centrality": oracles.harmonic_centrality_sql(NF_MAX_T, HB_P),
         "bfs_distances": oracles.bfs_distances_sql(NF_MAX_T, BFS_SEED_MOD),
         "personalized_pagerank": oracles.personalized_pagerank_sql(

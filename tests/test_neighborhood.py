@@ -67,6 +67,36 @@ def test_hyperball_seeded_graph(spark):
     # from m·ln(m) to alpha·m²/harm), so no monotonicity assertion here.
 
 
+def test_hyperball_packed_identical_to_columns(spark):
+    """Array-packed registers must produce BIT-IDENTICAL estimates to the
+    column layout at equal p (same hash, same registers, same fold order)
+    — the property that lets the packed gate query reuse the hyperball
+    oracle."""
+    from webgraph_ans_rs_spark.operators.neighborhood import hyperball_packed
+
+    edges, verts, _, _ = seeded_random_graph(spark)
+    col = _nf(hyperball(edges, verts, 3, p=6), col="nf_est")
+    packed = _nf(hyperball_packed(edges, verts, 3, p=6), col="nf_est")
+    assert col == packed
+
+
+def test_hyperball_packed_p10_tightens_accuracy(spark):
+    """The packed layout's whole point: p=10 (1024 registers — impossible
+    as columns) must track exact NF inside the tighter HLL envelope
+    (1.04/√1024 ≈ 3.3% asymptotic std; assert 3σ ≈ 10%, and strictly
+    better than the p=6 run's worst error on the same graph)."""
+    from webgraph_ans_rs_spark.operators.neighborhood import hyperball_packed
+
+    edges, verts, _, _ = seeded_random_graph(spark)
+    ex = _nf(neighborhood_function_exact(edges, verts, 3))
+    p10 = _nf(hyperball_packed(edges, verts, 3, p=10), col="nf_est")
+    p6 = _nf(hyperball(edges, verts, 3, p=6), col="nf_est")
+    worst10 = max(abs(p10[t] - ex[t]) / ex[t] for t in ex)
+    worst6 = max(abs(p6[t] - ex[t]) / ex[t] for t in ex)
+    assert worst10 < 0.10, (worst10, p10, ex)
+    assert worst10 <= worst6, (worst10, worst6)
+
+
 def test_harmonic_centrality_tracks_exact_on_chain(spark):
     """On 0→1→2→3 the exact truncated harmonic centrality is
     hc(0)=1+1/2+1/3, hc(1)=1+1/2, hc(2)=1, hc(3)=0 — the HLL estimate at

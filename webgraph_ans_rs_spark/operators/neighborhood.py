@@ -21,9 +21,10 @@ reference's graphs ship with .properties recording it). Two forms:
   Estimates use the standard HLL harmonic mean with
   the linear-counting small-range correction (dominant here: at small t
   most balls hold a handful of vertices). Column layout is comfortable to
-  p≈8 (256 agg expressions); beyond that, registers should be packed into
-  an array with an explode-based merge — noted, not needed at default
-  p.
+  p≈8 (256 agg expressions); beyond that the ARRAY-PACKED layout
+  (``hyperball_packed``) stores all m registers in one array<int> column
+  with an explicit map-side combine + zip_with(greatest) final merge —
+  frame width constant in p, precision unbounded (p=10+ web-scale runs).
 
   The register hash is a double multiplicative hash in pure int64
   arithmetic and rho comes from ``length(bin(w))`` (exact integer bit
@@ -219,15 +220,153 @@ def harmonic_centrality(
 
 
 def _nf_of(regs: DataFrame, m: int, reg_cols: list[str]) -> float:
+    return _nf_of_expr(regs, _estimate(m, reg_cols))
+
+
+def _nf_of_expr(regs: DataFrame, est) -> float:
     from decimal import ROUND_HALF_UP, Decimal
 
-    est = _estimate(m, reg_cols)
     # coalesce: SUM over an empty register frame (empty graph) is NULL
     row = regs.agg(F.coalesce(F.sum(est), F.lit(0.0)).alias("nf")).collect()[0]
     # HALF_UP to match DuckDB's ROUND (python round() is banker's)
     return float(
         Decimal(repr(float(row.nf))).quantize(Decimal("0.0001"), ROUND_HALF_UP)
     )
+
+
+# --------------------- array-packed register layout ---------------------
+# The column layout above caps p≈8 (m aggregate expressions stress
+# codegen); web-scale HyperBall runs p=11+ for tight statistics
+# (Boldi–Vigna run p up to 14). The packed layout stores all m registers
+# in ONE array<int> column, so the frame width is constant in p:
+#
+#   superstep = gather (edges ⋈ regs, the one shuffle-feeding join)
+#             → PARTITION-LOCAL combine (mapInPandas: per-partition
+#               register table folded with vectorized np.maximum — the
+#               explicit map-side partial max, exactly what Catalyst's
+#               partial_max does for the column layout; a hub's fan-in
+#               collapses to ≤ 1 row per (partition, vertex) BEFORE the
+#               shuffle, and the Python cost is Arrow-batched numpy, not
+#               per-row eval)
+#             → groupBy(vertex) final merge: collect_list of ≤ P partial
+#               arrays folded with zip_with(greatest) — JVM-side, exact.
+#
+# Python appears here because Spark has no built-in elementwise-array-max
+# AGGREGATE (max on arrays is lexicographic; exploding m registers per
+# row would multiply the shuffle by m) — this is the sanctioned
+# "built-ins genuinely can't express it" case, and the kernel is
+# vectorized np.maximum.reduceat over Arrow batches.
+# Estimates are IDENTICAL to the column layout: same hash, same
+# registers, same left-to-right harmonic fold (all terms exact powers of
+# two), so the packed path runs under the SAME DuckDB oracle.
+
+
+def _init_regs_packed(verts: DataFrame, p: int, eager: bool = True) -> DataFrame:
+    m = 1 << p
+    idx, rho = _rho_and_idx(F.col("vertex"), p)
+    regs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.when(j == idx, rho).otherwise(F.lit(0)).cast("int"),
+    )
+    out = verts.select("vertex", regs.alias("regs"))
+    return out.localCheckpoint(eager=True) if eager else out
+
+
+def _packed_combiner(m: int):
+    """mapInPandas partial-combine: fold each partition's (vertex, regs)
+    rows into one row per distinct vertex via vectorized elementwise max.
+    State is the partition-local register table (distinct-vertices × m
+    ints — the same bound as a per-thread HyperBall register file)."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc: dict[int, "np.ndarray"] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vs = pdf["vertex"].to_numpy()
+            mat = np.stack(pdf["regs"].to_numpy()).astype(np.int32, copy=False)
+            order = np.argsort(vs, kind="stable")
+            vs = vs[order]
+            mat = mat[order]
+            uq, starts = np.unique(vs, return_index=True)
+            red = np.maximum.reduceat(mat, starts, axis=0)
+            for v, row in zip(uq.tolist(), red):
+                prev = acc.get(v)
+                if prev is None:
+                    acc[v] = row.copy()
+                else:
+                    np.maximum(prev, row, out=prev)
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "vertex": list(acc.keys()),
+                    "regs": [r.tolist() for r in acc.values()],
+                }
+            )
+
+    return gen
+
+
+def _superstep_packed_plan(e: DataFrame, regs: DataFrame, m: int) -> DataFrame:
+    gathered = e.join(regs.withColumnRenamed("vertex", "dst"), "dst").select(
+        F.col("src").alias("vertex"), "regs"
+    )
+    allrows = gathered.unionByName(regs.select("vertex", "regs"))
+    partials = allrows.mapInPandas(
+        _packed_combiner(m), "vertex long, regs array<int>"
+    )
+    zero = F.array_repeat(F.lit(0), m)
+    return partials.groupBy("vertex").agg(
+        F.aggregate(
+            F.collect_list("regs"),
+            zero,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.greatest(a, b)),
+        ).alias("regs")
+    )
+
+
+def _superstep_packed(e: DataFrame, regs: DataFrame, m: int) -> DataFrame:
+    return _superstep_packed_plan(e, regs, m).localCheckpoint(eager=True)
+
+
+def _estimate_packed(m: int):
+    """Same HLL estimate as ``_estimate`` from the packed register array —
+    left-to-right fold over registers 0..m-1, so the harmonic sum's
+    association order matches the column layout bit-for-bit (all terms
+    exact powers of two — order-free anyway)."""
+    harm = F.aggregate(
+        "regs",
+        F.lit(0.0),
+        lambda acc, r: acc + F.pow(F.lit(2.0), -r.cast("double")),
+    )
+    zeros = F.size(F.filter("regs", lambda r: r == F.lit(0)))
+    raw = F.lit(hll_alpha(m) * m * m) / harm
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    return F.when(
+        (raw <= F.lit(HB_LIN_FACTOR * m)) & (zeros > 0), lin
+    ).otherwise(raw)
+
+
+def hyperball_packed(
+    edges: DataFrame, verts: DataFrame, max_t: int, p: int = 10
+) -> DataFrame:
+    """(t, nf_est) — HyperBall on the array-packed register layout: the
+    precision-unbounded path (p=10+ where the column layout's m-aggregate
+    frame stops being sensible). Estimates are identical to ``hyperball``
+    at equal p (same hash, same registers, same fold order), so the gate
+    runs it under the SAME oracle."""
+    m = 1 << p
+    regs = _init_regs_packed(verts, p)
+    spark = edges.sparkSession
+    rows = [(0, _nf_of_expr(regs, _estimate_packed(m)))]
+    e = edges.select("src", "dst")
+    for t in range(1, max_t + 1):
+        regs = _superstep_packed(e, regs, m)
+        rows.append((t, _nf_of_expr(regs, _estimate_packed(m))))
+    return spark.createDataFrame(rows, "t int, nf_est double")
 
 
 def effective_diameter(
