@@ -128,10 +128,22 @@ def main() -> None:
 
         # sequential scan: enumerate EVERY successor in the written table —
         # the reference's seq protocol (examples/bench_seq_access.rs:20-30,
-        # 3.4-21.5 ns/arc); ours is a full columnar scan of the dsts arrays
-        t0 = time.time()
-        n_arcs_seq = adj_t.agg(F.coalesce(F.sum(F.size("dsts")), F.lit(0))).first()[0]
-        seq_sec = time.time() - t0
+        # 3.4-21.5 ns/arc, measured on a WARM mmap). min-of-3: a single
+        # cold scan of the just-written table measured 93 ns/arc vs a
+        # 22-28 ns/arc steady state (page cache + scan codegen warm-up) —
+        # that cold-run variance was the entire r02→r03 'regression'
+        # (34.7 → 54.3 ns/arc, BASELINE.md round 4); the cold value is
+        # reported alongside for transparency
+        seq_sec = float("inf")
+        seq_cold = None
+        for _ in range(3):
+            t0 = time.time()
+            n_arcs_seq = adj_t.agg(
+                F.coalesce(F.sum(F.size("dsts")), F.lit(0))
+            ).first()[0]
+            dt = time.time() - t0
+            seq_cold = seq_cold if seq_cold is not None else dt
+            seq_sec = min(seq_sec, dt)
         queries["sequential_scan"] = round(seq_sec, 3)
         spark.sql("DROP TABLE IF EXISTS bench_adj")
 
@@ -356,6 +368,9 @@ def main() -> None:
                 "random_access_ns_per_arc": round(1e9 * ra_sec / max(1, n_arcs_enum)),
                 "sequential_arcs": int(n_arcs_seq),
                 "sequential_ns_per_arc": round(1e9 * seq_sec / max(1, n_arcs_seq), 1),
+                "sequential_cold_ns_per_arc": round(
+                    1e9 * seq_cold / max(1, n_arcs_seq), 1
+                ),
                 "hyperball_3iter_sec": hb_sec,
                 "storage": storage,
             }
