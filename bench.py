@@ -270,6 +270,18 @@ def main() -> None:
         storage["cnr2000"]["nodes"] = cnr_meta["nodes"]
         storage["cnr2000"]["reference_bvgraph_bits_per_link"] = 2.897
         storage["cnr2000"]["refs_encode_sec"] = cnr_encode_sec
+        # copy-coverage parity stat: arcs NOT stored as residuals are
+        # copied or nothing — directly comparable to the reference
+        # artifact's copiedarcs+intervalisedarcs=2638802 of 3216152
+        # (.properties; our layout has no interval class, so copied
+        # covers both)
+        n_res = cnr_enc.agg(
+            F.coalesce(F.sum(F.size("res_gaps")), F.lit(0))
+        ).first()[0]
+        storage["cnr2000"]["copied_arcs"] = int(cnr_meta["arcs"] - n_res)
+        storage["cnr2000"]["copied_frac"] = round(
+            (cnr_meta["arcs"] - n_res) / cnr_meta["arcs"], 3
+        )
         cnr_enc.unpersist()
         # flagship kernels on the real graph
         cnr_verts = spark.range(0, cnr_meta["nodes"]).select(

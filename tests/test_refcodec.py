@@ -19,6 +19,7 @@ from webgraph_ans_rs_spark.operators.refcodec import (
     _mask_runs,
     decode_refs,
     encode_refs,
+    successors_from_refs,
 )
 
 
@@ -137,6 +138,23 @@ def test_encode_deterministic(spark):
     a = sorted(map(tuple, encode_refs(adj, num_buckets=4).collect()))
     b = sorted(map(tuple, encode_refs(adj, num_buckets=4).collect()))
     assert a == b
+
+
+def test_point_lookup_on_ref_coded_table(spark):
+    """successors_from_refs decodes only u's bucket prefix and matches the
+    full decode — including a u whose list is ref-coded."""
+    edges = _weblike_edges(spark, n=600)
+    adj = build_csr_adjacency(edges)
+    orig = {r.src: r.dsts for r in adj.collect()}
+    enc = encode_refs(adj, num_buckets=3).persist()
+    ref_coded = [r.src for r in enc.where(F.col("ref") != 0).limit(1).collect()]
+    probes = [min(orig), max(orig), *ref_coded]
+    for u in probes:
+        got = successors_from_refs(enc, u).collect()
+        assert len(got) == 1 and got[0].dsts == orig[u], u
+    absent = max(orig) + 12345
+    assert successors_from_refs(enc, absent).collect() == []
+    enc.unpersist()
 
 
 @pytest.mark.parametrize("num_buckets", [1, 3])

@@ -234,3 +234,22 @@ def decode_refs(enc: DataFrame, window: int = 7) -> DataFrame:
     return enc.groupBy("bucket").applyInPandas(
         lambda pdf: _decode_pdf(pdf, window), "src long, dsts array<long>"
     )
+
+
+def successors_from_refs(enc: DataFrame, u: int, window: int = 7) -> DataFrame:
+    """Random-access successors(u) on the ref-coded table: one pruned
+    point read resolves u's bucket, then ONLY that bucket's prefix
+    (src ≤ u) is decoded — references always point backward, so the
+    prefix is self-contained. Same accounting as the plain-CSR
+    ``successors`` path (a bucket-pruned scan, not an mmap jump): the
+    copy codec costs a bucket-prefix decode per point query, which is
+    why the decoded CSR stays the QUERY layout and the ref layout is the
+    STORAGE/ARCHIVE layout."""
+    row = enc.where(F.col("src") == F.lit(u)).select("bucket").first()
+    if row is None:
+        spark = enc.sparkSession
+        return spark.createDataFrame([], "src long, dsts array<long>")
+    prefix = enc.where(
+        (F.col("bucket") == F.lit(int(row.bucket))) & (F.col("src") <= F.lit(u))
+    )
+    return decode_refs(prefix, window).where(F.col("src") == F.lit(u))
