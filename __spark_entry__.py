@@ -491,6 +491,18 @@ def _q_hyperball_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperball_packed(edges, verts, NF_MAX_T, p=HB_P)
 
 
+def _q_harmonic_centrality_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality on the array-packed register layout — identical
+    estimates at equal p, so it runs under the SAME oracle as
+    `harmonic_centrality`."""
+    from webgraph_ans_rs_spark.operators.neighborhood import (
+        harmonic_centrality_packed,
+    )
+
+    edges, verts = _clustered(spark, sf_dir)
+    return harmonic_centrality_packed(edges, verts, NF_MAX_T, p=HB_P)
+
+
 def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated harmonic centrality via HyperBall registers — the
     algorithm's flagship application; per-vertex, left-to-right
@@ -593,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball": _q_hyperball,
         "hyperball_packed": _q_hyperball_packed,
         "harmonic_centrality": _q_harmonic_centrality,
+        "harmonic_centrality_packed": _q_harmonic_centrality_packed,
         "bfs_distances": _q_bfs_distances,
         "personalized_pagerank": _q_personalized_pagerank,
         "effective_diameter": _q_effective_diameter,
@@ -660,6 +673,9 @@ def oracle_sql() -> dict[str, str]:
         "hyperball": oracles.hyperball_sql(NF_MAX_T, HB_P),
         "hyperball_packed": oracles.hyperball_sql(NF_MAX_T, HB_P),
         "harmonic_centrality": oracles.harmonic_centrality_sql(NF_MAX_T, HB_P),
+        "harmonic_centrality_packed": oracles.harmonic_centrality_sql(
+            NF_MAX_T, HB_P
+        ),
         "bfs_distances": oracles.bfs_distances_sql(NF_MAX_T, BFS_SEED_MOD),
         "personalized_pagerank": oracles.personalized_pagerank_sql(
             5, 0.85, BFS_SEED_MOD

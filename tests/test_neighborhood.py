@@ -97,6 +97,21 @@ def test_hyperball_packed_p10_tightens_accuracy(spark):
     assert worst10 <= worst6, (worst10, worst6)
 
 
+def test_harmonic_centrality_packed_identical_to_columns(spark):
+    from webgraph_ans_rs_spark.operators.neighborhood import (
+        harmonic_centrality,
+        harmonic_centrality_packed,
+    )
+
+    edges, verts, _, _ = seeded_random_graph(spark, n=120, m=500)
+    col = {r.vertex: r.hc for r in harmonic_centrality(edges, verts, 3, p=6).collect()}
+    packed = {
+        r.vertex: r.hc
+        for r in harmonic_centrality_packed(edges, verts, 3, p=6).collect()
+    }
+    assert col == packed
+
+
 def test_harmonic_centrality_tracks_exact_on_chain(spark):
     """On 0→1→2→3 the exact truncated harmonic centrality is
     hc(0)=1+1/2+1/3, hc(1)=1+1/2, hc(2)=1, hc(3)=0 — the HLL estimate at

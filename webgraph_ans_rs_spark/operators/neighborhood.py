@@ -220,6 +220,46 @@ def harmonic_centrality(
     return state.select("vertex", F.round("hc", 4).alias("hc"))
 
 
+def harmonic_centrality_packed(
+    edges: DataFrame, verts: DataFrame, max_t: int, p: int = 10
+) -> DataFrame:
+    """(vertex, hc) — harmonic centrality from the array-packed registers:
+    same per-superstep left-to-right accumulation as
+    ``harmonic_centrality``, same estimate arithmetic (the packed fold's
+    association order matches the column sum bit-for-bit), so at equal p
+    it is hash-identical and runs under the SAME oracle; at p=10+ it is
+    the web-scale-precision path the column layout cannot reach."""
+    m = 1 << p
+    spark = edges.sparkSession
+    p_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    regs = _init_regs_packed(verts, p, num_partitions=p_shuffle)
+    est = _estimate_packed(m)
+    state = regs.select(
+        "vertex", est.alias("prev"), F.lit(0.0).alias("hc")
+    ).localCheckpoint(eager=True)
+    csr_t = build_transposed_csr(edges, verts, p_shuffle).persist()
+    csr_t.count()
+    try:
+        for t in range(1, max_t + 1):
+            regs = _superstep_packed(csr_t, regs, m)
+            cur = regs.select("vertex", est.alias("cur"))
+            state = (
+                state.join(cur, "vertex")
+                .select(
+                    "vertex",
+                    F.col("cur").alias("prev"),
+                    (
+                        F.col("hc")
+                        + (F.col("cur") - F.col("prev")) / F.lit(float(t))
+                    ).alias("hc"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        csr_t.unpersist()
+    return state.select("vertex", F.round("hc", 4).alias("hc"))
+
+
 def _nf_of(regs: DataFrame, m: int, reg_cols: list[str]) -> float:
     return _nf_of_expr(regs, _estimate(m, reg_cols))
 
