@@ -539,6 +539,38 @@ def _q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("vertex", F.round("pr", 6).alias("pr"))
 
 
+PPR_CONV_DAMPING = 0.5
+PPR_CONV_TOL = 1e-6
+PPR_CONV_MAX_ITER = 35
+
+
+def _q_ppr_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence-mode personalized PageRank (tol/L1 loop on the
+    single-exchange superstep) — oracle unrolls the identical stopping
+    rule, so agreement gates the converged values AND
+    iterations-to-convergence (the pagerank_converged pattern applied to
+    the personalized vector; damping 0.5 keeps the unroll depth at 35)."""
+    from webgraph_ans_rs_spark.operators.pagerank import (
+        personalized_pagerank_converged,
+    )
+
+    edges, verts = _clustered(spark, sf_dir)
+    seeds = verts.where(F.col("vertex") % BFS_SEED_MOD == 0)
+    pr, iters = personalized_pagerank_converged(
+        edges,
+        verts,
+        seeds,
+        damping=PPR_CONV_DAMPING,
+        max_iter=PPR_CONV_MAX_ITER,
+        tol=PPR_CONV_TOL,
+    )
+    return pr.select(
+        "vertex",
+        F.round("pr", 6).alias("pr"),
+        F.lit(iters).cast("long").alias("iters"),
+    )
+
+
 def _q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperANF's headline statistic (the 'four degrees of separation'
     measurement): interpolated hop count covering 90% of reachable pairs,
@@ -608,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality_packed": _q_harmonic_centrality_packed,
         "bfs_distances": _q_bfs_distances,
         "personalized_pagerank": _q_personalized_pagerank,
+        "ppr_converged": _q_ppr_converged,
         "effective_diameter": _q_effective_diameter,
         "scc": _q_scc,
     }
@@ -679,6 +712,9 @@ def oracle_sql() -> dict[str, str]:
         "bfs_distances": oracles.bfs_distances_sql(NF_MAX_T, BFS_SEED_MOD),
         "personalized_pagerank": oracles.personalized_pagerank_sql(
             5, 0.85, BFS_SEED_MOD
+        ),
+        "ppr_converged": oracles.personalized_pagerank_converged_sql(
+            PPR_CONV_MAX_ITER, PPR_CONV_DAMPING, BFS_SEED_MOD, PPR_CONV_TOL
         ),
         "effective_diameter": oracles.effective_diameter_sql(NF_MAX_T, HB_P, 0.9),
         "scc": oracles.scc_sql(dg.CLUSTER_GROUP),

@@ -128,3 +128,40 @@ def test_personalized_pagerank_duplicate_and_foreign_seeds(spark):
         for r in personalized_pagerank(edges, verts, seeds, num_iter=10).collect()
     }
     assert abs(sum(pr.values()) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_converged_matches_fixed_iters(spark):
+    """The tol-loop stops at some iteration j; running the fixed-iteration
+    form for exactly j iterations must give identical ranks (same loop,
+    same arithmetic), and the reported delta rule must hold: running one
+    fewer iteration differs by more than tol in L1."""
+    from webgraph_ans_rs_spark.operators.pagerank import (
+        personalized_pagerank,
+        personalized_pagerank_converged,
+    )
+
+    from tests.conftest import seeded_random_graph
+
+    edges, verts, _, _ = seeded_random_graph(spark, n=120, m=500)
+    seeds = spark.createDataFrame([(i,) for i in range(0, 120, 11)], "vertex long")
+    tol = 1e-6
+    pr_c, iters = personalized_pagerank_converged(
+        edges, verts, seeds, damping=0.5, max_iter=35, tol=tol
+    )
+    got = {r.vertex: r.pr for r in pr_c.collect()}
+    fixed = {
+        r.vertex: r.pr
+        for r in personalized_pagerank(
+            edges, verts, seeds, damping=0.5, num_iter=iters
+        ).collect()
+    }
+    assert got == fixed
+    prev = {
+        r.vertex: r.pr
+        for r in personalized_pagerank(
+            edges, verts, seeds, damping=0.5, num_iter=iters - 1
+        ).collect()
+    }
+    l1_last = sum(abs(got[v] - prev[v]) for v in got)
+    assert l1_last <= tol
+    assert 1 < iters <= 35

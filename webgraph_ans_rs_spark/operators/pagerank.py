@@ -385,6 +385,27 @@ def _ppr_superstep_frame(csr, pr, zeros, sv, coef: float, damping: float) -> Dat
     )
 
 
+def personalized_pagerank_converged(
+    edges: DataFrame,
+    verts: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.5,
+    max_iter: int = 35,
+    tol: float = 1e-6,
+    shuffle_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Convergence-mode PPR: the same single-exchange superstep loop run
+    until the L1 delta between consecutive iterations is ≤ ``tol``
+    (the `pagerank_converged` stopping rule applied to the personalized
+    vector). Returns (ranks, iterations). Gate query `ppr_converged`
+    unrolls the identical rule in DuckDB — consecutive deltas shrink
+    geometrically (~damping per iteration) while cross-engine summation
+    drift is ~1e-15 relative, so the threshold comparison cannot flip."""
+    return _ppr_loop(
+        edges, verts, seeds, damping, max_iter, tol, shuffle_partitions
+    )
+
+
 def personalized_pagerank(
     edges: DataFrame,
     verts: DataFrame,
@@ -411,6 +432,21 @@ def personalized_pagerank(
     scalars mirror the uniform loop's float-op order; per-vertex sums are
     order-free to ~1e-16 and the gate rounds 6dp
     (gate query `personalized_pagerank`)."""
+    pr, _ = _ppr_loop(
+        edges, verts, seeds, damping, num_iter, None, shuffle_partitions
+    )
+    return pr
+
+
+def _ppr_loop(
+    edges: DataFrame,
+    verts: DataFrame,
+    seeds: DataFrame,
+    damping: float,
+    max_iter: int,
+    tol: float | None,
+    shuffle_partitions: int | None,
+) -> tuple[DataFrame, int]:
     spark = edges.sparkSession
     p = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # normalize the seed set BEFORE sizing the teleport: duplicate seed
@@ -466,7 +502,8 @@ def personalized_pagerank(
             .repartition(p, "vertex")
             .localCheckpoint(eager=True)
         )
-        for _ in range(num_iter):
+        it = 0
+        for it in range(1, max_iter + 1):
             dm = (
                 pr.join(dangling_verts, "vertex", "left_semi")
                 .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
@@ -475,10 +512,21 @@ def personalized_pagerank(
                 else 0.0
             )
             coef = (1.0 - damping) + damping * dm
-            pr = _ppr_superstep_frame(
+            new_pr = _ppr_superstep_frame(
                 csr, pr, zeros, sv, coef, damping
             ).localCheckpoint(eager=True)
-        return pr
+            if tol is not None:
+                l1 = (
+                    new_pr.join(pr.withColumnRenamed("pr", "pr_old"), "vertex")
+                    .agg(F.sum(F.abs(F.col("pr") - F.col("pr_old"))))
+                    .first()[0]
+                )
+                pr = new_pr
+                if l1 <= tol:
+                    break
+            else:
+                pr = new_pr
+        return pr, it
     finally:
         spark.conf.set(coalesce_key, coalesce_prev)
         for c in (sv, csr, zeros, dangling_verts):

@@ -527,6 +527,83 @@ def personalized_pagerank_sql(
     )
 
 
+def personalized_pagerank_converged_sql(
+    max_iter: int = 35,
+    damping: float = 0.5,
+    seed_mod: int = 101,
+    tol: float = 1e-6,
+    round_dp: int = 6,
+) -> str:
+    """Convergence-mode PPR oracle: the `personalized_pagerank_sql`
+    iteration body unrolled ``max_iter`` deep plus an L1-delta CTE per
+    iteration, selecting the FIRST iteration with delta <= tol and its
+    iteration count — the `pagerank_converged_sql` stopping machinery
+    applied to the personalized vector. Same MATERIALIZED discipline
+    (every p_i is referenced 4x; DuckDB inlines per reference)."""
+    one_minus_d = repr(1.0 - damping)
+    d = repr(damping)
+    ctes = [
+        _clustered_ctes(),
+        f"seeds AS (SELECT vertex FROM verts WHERE vertex % {seed_mod} = 0)",
+        "ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM seeds)",
+        (
+            "sv AS MATERIALIZED (SELECT v.vertex,"
+            " CASE WHEN s.vertex IS NOT NULL THEN CAST(1.0 AS DOUBLE) / (SELECT c FROM ns)"
+            " ELSE CAST(0.0 AS DOUBLE) END AS s"
+            " FROM verts v LEFT JOIN seeds s USING (vertex))"
+        ),
+        (
+            "od AS MATERIALIZED (SELECT v.vertex,"
+            " CAST(COALESCE(c.cnt, 0) AS BIGINT) AS outdeg,"
+            " CAST(1.0 AS DOUBLE) / COALESCE(c.cnt, 1) AS w"
+            " FROM verts v LEFT JOIN (SELECT src AS vertex, COUNT(*) AS cnt"
+            " FROM cedges GROUP BY 1) c USING (vertex))"
+        ),
+        "p0 AS MATERIALIZED (SELECT vertex, s AS pr FROM sv)",
+    ]
+    for i in range(1, max_iter + 1):
+        prev = i - 1
+        ctes.append(
+            f"pdm{i} AS (SELECT COALESCE(SUM(r.pr), CAST(0.0 AS DOUBLE)) AS m"
+            f" FROM p{prev} r JOIN od USING (vertex) WHERE od.outdeg = 0)"
+        )
+        ctes.append(
+            f"pg{i} AS (SELECT e.dst AS vertex, SUM(r.pr * od.w) AS g"
+            f" FROM cedges e JOIN p{prev} r ON r.vertex = e.src"
+            f" JOIN od ON od.vertex = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT v.vertex,"
+            f" (CAST({one_minus_d} AS DOUBLE)"
+            f" + CAST({d} AS DOUBLE) * (SELECT m FROM pdm{i})) * sv.s"
+            f" + CAST({d} AS DOUBLE) * COALESCE(g.g, CAST(0.0 AS DOUBLE)) AS pr"
+            f" FROM verts v JOIN sv ON sv.vertex = v.vertex"
+            f" LEFT JOIN pg{i} g ON g.vertex = v.vertex)"
+        )
+        ctes.append(
+            f"pdelta{i} AS (SELECT SUM(ABS(a.pr - b.pr)) AS d"
+            f" FROM p{i} a JOIN p{prev} b USING (vertex))"
+        )
+    deltas = " UNION ALL ".join(
+        f"SELECT {i} AS it, (SELECT d FROM pdelta{i}) AS d"
+        for i in range(1, max_iter + 1)
+    )
+    all_p = " UNION ALL ".join(
+        f"SELECT {i} AS it, vertex, pr FROM p{i}" for i in range(1, max_iter + 1)
+    )
+    ctes.append(f"pdeltas AS ({deltas})")
+    ctes.append(
+        f"pconv AS (SELECT MIN(it) AS j FROM pdeltas WHERE d <= {repr(tol)})"
+    )
+    ctes.append(f"all_p AS ({all_p})")
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vertex, ROUND(pr, {round_dp}) AS pr,"
+        f" CAST(j AS BIGINT) AS iters FROM all_p, pconv WHERE it = j"
+    )
+
+
 def scc_sql(max_t: int = 20) -> str:
     """SCC ground truth from the bounded closure (clustered components
     hold ≤ CLUSTER_GROUP=20 vertices, so depth-20 reachability IS the
