@@ -282,6 +282,16 @@ def main() -> None:
         storage["cnr2000"]["copied_frac"] = round(
             (cnr_meta["arcs"] - n_res) / cnr_meta["arcs"], 3
         )
+        # decode cost (full sequential decode of the ref layout back to
+        # the CSR — the price a query pays if it reads the archive layout
+        # directly instead of the decoded CSR)
+        from webgraph_ans_rs_spark.operators.refcodec import decode_refs
+
+        t0 = time.time()
+        decode_refs(cnr_enc).agg(
+            F.coalesce(F.sum(F.size("dsts")), F.lit(0))
+        ).first()
+        storage["cnr2000"]["refs_decode_sec"] = round(time.time() - t0, 3)
         cnr_enc.unpersist()
         # flagship kernels on the real graph
         cnr_verts = spark.range(0, cnr_meta["nodes"]).select(
