@@ -173,10 +173,19 @@ def hyperball(
     regs = _init_regs(verts, p, reg_cols)
     spark = edges.sparkSession
     rows = [(0, _nf_of(regs, m, reg_cols))]
-    e = edges.select("src", "dst")
-    for t in range(1, max_t + 1):
-        regs = _superstep(e, regs, reg_cols)
-        rows.append((t, _nf_of(regs, m, reg_cols)))
+    # loop-invariant gather side, hash-partitioned by dst ONCE and cached:
+    # without it the first superstep inherits the raw scan's partitioning
+    # (few fat tasks; the packed path measured a 272 s straggler from
+    # exactly this) and every superstep re-shuffles the edge side
+    p_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst").repartition(p_shuffle, "dst").persist()
+    e.count()
+    try:
+        for t in range(1, max_t + 1):
+            regs = _superstep(e, regs, reg_cols)
+            rows.append((t, _nf_of(regs, m, reg_cols)))
+    finally:
+        e.unpersist()
     return spark.createDataFrame(rows, "t int, nf_est double")
 
 
@@ -203,20 +212,26 @@ def harmonic_centrality(
         _estimate(m, reg_cols).alias("prev"),
         F.lit(0.0).alias("hc"),
     ).localCheckpoint(eager=True)
-    e = edges.select("src", "dst")
-    for t in range(1, max_t + 1):
-        regs = _superstep(e, regs, reg_cols)
-        cur = regs.select("vertex", _estimate(m, reg_cols).alias("cur"))
-        state = (
-            state.join(cur, "vertex")
-            .select(
-                "vertex",
-                F.col("cur").alias("prev"),
-                (F.col("hc") + (F.col("cur") - F.col("prev")) / F.lit(float(t)))
-                .alias("hc"),
+    spark = edges.sparkSession
+    p_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst").repartition(p_shuffle, "dst").persist()
+    e.count()
+    try:
+        for t in range(1, max_t + 1):
+            regs = _superstep(e, regs, reg_cols)
+            cur = regs.select("vertex", _estimate(m, reg_cols).alias("cur"))
+            state = (
+                state.join(cur, "vertex")
+                .select(
+                    "vertex",
+                    F.col("cur").alias("prev"),
+                    (F.col("hc") + (F.col("cur") - F.col("prev")) / F.lit(float(t)))
+                    .alias("hc"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
+    finally:
+        e.unpersist()
     return state.select("vertex", F.round("hc", 4).alias("hc"))
 
 
