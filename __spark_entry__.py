@@ -190,6 +190,30 @@ def _q_successors_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUCC_LAYOUT_TAGS = ("segmented", "gaps", "refs")
+
+
+def _q_successors_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL alternate storage layouts round-tripped to canonical successor
+    strings in one tagged union — one registry slot gates them all (the
+    driver's correctness sweep stops at 50 rows; round 4 shipped 51
+    registered queries and the 51st got no row). Each branch must
+    reproduce the exact adjacency, so they share the base oracle
+    cross-tagged (oracles.successors_layouts_sql)."""
+    branches = {
+        "segmented": _q_successors_segmented,
+        "gaps": _q_successors_gaps,
+        "refs": _q_successors_refs,
+    }
+    out = None
+    for tag in SUCC_LAYOUT_TAGS:
+        df = branches[tag](spark, sf_dir).select(
+            F.lit(tag).alias("layout"), "vertex", "succs"
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def _q_pagerank_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stats-pass->layout-driven PageRank path under the driver gate:
     segmented CSR + explicit shuffle partitions; same unrolled oracle,
@@ -503,6 +527,23 @@ def _q_harmonic_centrality_packed(spark: SparkSession, sf_dir: str) -> DataFrame
     return harmonic_centrality_packed(edges, verts, NF_MAX_T, p=HB_P)
 
 
+HB_P_HIGH = 8  # beyond the column layout's comfort zone — packed-only
+
+
+def _q_harmonic_centrality_p8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality at p=8 (256 registers) from the PACKED layout —
+    the precision tier the column layout stops being sensible at, now
+    that the segmented transpose removed the hub-destination ceiling. The
+    oracle machinery replays arbitrary p, so this is a full value-hash
+    gate, not a rows-only check."""
+    from webgraph_ans_rs_spark.operators.neighborhood import (
+        harmonic_centrality_packed,
+    )
+
+    edges, verts = _clustered(spark, sf_dir)
+    return harmonic_centrality_packed(edges, verts, NF_MAX_T, p=HB_P_HIGH)
+
+
 def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated harmonic centrality via HyperBall registers — the
     algorithm's flagship application; per-vertex, left-to-right
@@ -619,13 +660,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indegree": _q_indegree,
         "degree_distribution": _q_degree_distribution,
         "successors": _q_successors,
-        "successors_gaps": _q_successors_gaps,
-        "successors_refs": _q_successors_refs,
+        "successors_layouts": _q_successors_layouts,
         "num_nodes_arcs": _q_num_nodes_arcs,
         "pagerank_5iter": _q_pagerank,
         "pagerank_converged": _q_pagerank_converged,
         "pagerank_layout": _q_pagerank_layout,
-        "successors_segmented": _q_successors_segmented,
         "connected_components": _q_connected_components,
         "label_propagation_2iter": _q_label_propagation,
         "triangle_count": _q_triangle_count,
@@ -638,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_packed": _q_hyperball_packed,
         "harmonic_centrality": _q_harmonic_centrality,
         "harmonic_centrality_packed": _q_harmonic_centrality_packed,
+        "harmonic_centrality_p8": _q_harmonic_centrality_p8,
         "bfs_distances": _q_bfs_distances,
         "personalized_pagerank": _q_personalized_pagerank,
         "ppr_converged": _q_ppr_converged,
@@ -686,15 +726,13 @@ def oracle_sql() -> dict[str, str]:
         "indegree": oracles.indegree_sql(),
         "degree_distribution": oracles.degree_distribution_sql(),
         "successors": oracles.successors_sql(),
-        "successors_gaps": oracles.successors_sql(),
-        "successors_refs": oracles.successors_sql(),
+        "successors_layouts": oracles.successors_layouts_sql(SUCC_LAYOUT_TAGS),
         "num_nodes_arcs": oracles.num_nodes_arcs_sql(),
         "pagerank_5iter": oracles.pagerank_sql(PAGERANK_ITERS),
         "pagerank_converged": oracles.pagerank_converged_sql(
             PR_CONV_MAX_ITER, PR_CONV_DAMPING, PR_CONV_TOL
         ),
         "pagerank_layout": oracles.pagerank_sql(PAGERANK_ITERS, round_dp=6),
-        "successors_segmented": oracles.successors_sql(),
         "connected_components": oracles.connected_components_sql(),
         "label_propagation_2iter": oracles.label_propagation_sql(LP_ITERS),
         "triangle_count": oracles.triangle_count_sql(),
@@ -708,6 +746,9 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_centrality": oracles.harmonic_centrality_sql(NF_MAX_T, HB_P),
         "harmonic_centrality_packed": oracles.harmonic_centrality_sql(
             NF_MAX_T, HB_P
+        ),
+        "harmonic_centrality_p8": oracles.harmonic_centrality_sql(
+            NF_MAX_T, HB_P_HIGH
         ),
         "bfs_distances": oracles.bfs_distances_sql(NF_MAX_T, BFS_SEED_MOD),
         "personalized_pagerank": oracles.personalized_pagerank_sql(

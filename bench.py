@@ -369,35 +369,51 @@ def main() -> None:
     edges.unpersist()
 
     total = round(sum(queries.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": os.path.basename(sf_dir.rstrip("/")).replace("sf", ""),
-                "cpus": int(cpus),
-                "pagerank_edges": n_edges,
-                "pagerank_supersteps": PR_SUPERSTEPS,
-                "pagerank_setup_sec": round(res.setup_sec, 3),
-                "pagerank_loop_sec": round(res.loop_sec, 3),
-                "pagerank_edges_per_sec": round(edges_per_sec),
-                "pipeline_pages": BENCH_PAGES,
-                "pipeline_edges": n_pipeline_edges,
-                "random_access_nodes": 10000,
-                "random_access_arcs": int(n_arcs_enum),
-                "random_access_ns_per_arc": round(1e9 * ra_sec / max(1, n_arcs_enum)),
-                "sequential_arcs": int(n_arcs_seq),
-                "sequential_ns_per_arc": round(1e9 * seq_sec / max(1, n_arcs_seq), 1),
-                "sequential_cold_ns_per_arc": round(
-                    1e9 * seq_cold / max(1, n_arcs_seq), 1
-                ),
-                "hyperball_3iter_sec": hb_sec,
-                "storage": storage,
-            }
-        )
+    headline = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(sf_dir.rstrip("/")).replace("sf", ""),
+        "cpus": int(cpus),
+        "pagerank_edges_per_sec": round(edges_per_sec),
+        "random_access_ns_per_arc": round(1e9 * ra_sec / max(1, n_arcs_enum)),
+        "sequential_ns_per_arc": round(1e9 * seq_sec / max(1, n_arcs_seq), 1),
+        "sequential_cold_ns_per_arc": round(1e9 * seq_cold / max(1, n_arcs_seq), 1),
+        "hyperball_3iter_sec": hb_sec,
+        "cnr2000_bits_per_link": storage.get("cnr2000", {})
+        .get("layouts", {})
+        .get("csr_dense_refs-zstd", {})
+        .get("bits_per_link"),
+    }
+    detail = dict(
+        headline,
+        pagerank_edges=n_edges,
+        pagerank_supersteps=PR_SUPERSTEPS,
+        pagerank_setup_sec=round(res.setup_sec, 3),
+        pagerank_loop_sec=round(res.loop_sec, 3),
+        pipeline_pages=BENCH_PAGES,
+        pipeline_edges=n_pipeline_edges,
+        random_access_nodes=10000,
+        random_access_arcs=int(n_arcs_enum),
+        sequential_arcs=int(n_arcs_seq),
+        storage=storage,
     )
+    # The storage/cnr2000 blobs live in a side file + a PRECEDING stdout
+    # line; the LAST line is the compact machine-readable headline. The
+    # driver's BENCH artifact keeps only a 2000-char stdout tail — round 4
+    # shipped `parsed: null` because the single fat JSON line outgrew it.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
+    line = json.dumps(headline)
+    if len(line) > 1800:  # never ship an unparseable artifact again
+        headline["queries"] = {"total_only": total}
+        line = json.dumps(headline)
+    print(line)
 
 
 if __name__ == "__main__":

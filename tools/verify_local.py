@@ -60,10 +60,15 @@ def main() -> int:
 
     qs = entry_mod.queries()
     sqls = entry_mod.oracle_sql()
+    # the driver's sweep records at most 50 rows — fail loudly here
+    # before a registered query silently loses its gate (round-4 scc)
+    assert len(qs) <= 50, f"{len(qs)} queries registered; driver caps at 50"
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         sdf = fn(spark, sf_dir)
         scols = sorted(sdf.columns)
         srows = canon([tuple(r) for r in sdf.collect()], sdf.columns)
@@ -92,6 +97,7 @@ def main() -> int:
                     print(f"    only-spark {x}")
                 for x in list(only_d)[:3]:
                     print(f"    only-duck  {x}")
+    print(f"COVERAGE: {checked}/{len(qs)} registered queries checked")
     print("FAILURES:", failures or "none")
     return 1 if failures else 0
 

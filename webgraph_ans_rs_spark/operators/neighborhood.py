@@ -297,15 +297,17 @@ def _nf_of_expr(regs: DataFrame, est) -> float:
 # in ONE array<int> column, so the frame width is constant in p:
 #
 #   superstep = gather (edges ⋈ regs, the one shuffle-feeding join)
-#             → PARTITION-LOCAL combine (mapInPandas: per-partition
-#               register table folded with vectorized np.maximum — the
-#               explicit map-side partial max, exactly what Catalyst's
-#               partial_max does for the column layout; a hub's fan-in
-#               collapses to ≤ 1 row per (partition, vertex) BEFORE the
-#               shuffle, and the Python cost is Arrow-batched numpy, not
-#               per-row eval)
-#             → groupBy(vertex) final merge: collect_list of ≤ P partial
-#               arrays folded with zip_with(greatest) — JVM-side, exact.
+#             → PARTITION-LOCAL combine (mapInArrow _scatter_combiner:
+#               per-partition register table folded with vectorized
+#               np.maximum.reduceat — the explicit map-side partial max,
+#               exactly what Catalyst's partial_max does for the column
+#               layout; a hub's fan-in collapses to ≤ 1 row per
+#               (partition, vertex) BEFORE the shuffle, and the Python
+#               cost is Arrow-batched numpy, not per-row eval)
+#             → final merge: repartition(vertex) (the V-sized partial
+#               shuffle) + a second mapInArrow fold (_packed_combiner)
+#               that collapses the ≤ P partial rows per vertex inside
+#               each hash partition — Arrow/numpy, exact elementwise max.
 #
 # Python appears here because Spark has no built-in elementwise-array-max
 # AGGREGATE (max on arrays is lexicographic; exploding m registers per
@@ -400,19 +402,32 @@ def _packed_combiner(m: int):
     return gen
 
 
+# Peak bytes one scatter fold step may materialize for the gathered
+# register matrix (mat[rep] below). Bounds task memory INDEPENDENTLY of
+# row sizes and Arrow batch shapes: even if an unsegmented hub row or a
+# fat batch arrives, the fan-out is sliced flat-wise into ≤ this many
+# bytes per np.maximum.reduceat fold. 128 MiB ≈ 128 Ki flat srcs at p=10.
+SCATTER_FANOUT_BYTES = 128 << 20
+
+
 def _scatter_combiner(m: int):
     """mapInArrow scatter+combine over the TRANSPOSED CSR: input rows are
-    (srcs array<long>, regs array<tinyint>) — one per destination vertex,
-    carrying its in-neighbor list and its registers. The E-sized fan-out
-    (each src receives its successor's registers) happens INSIDE numpy
-    (np.repeat row-gather), immediately folded to ≤1 partial row per
-    (partition, src) — so the JVM plan stays V-sized end to end and the
-    join never materializes per-edge register rows (measured 4.5× faster
-    than the edge-join form on cnr-2000)."""
+    (srcs array<long>, regs array<tinyint>) — one per destination-vertex
+    SEGMENT (build_transposed_csr splits hub in-neighbor lists), carrying
+    a chunk of its in-neighbor list and its registers. The E-sized
+    fan-out (each src receives its successor's registers) happens INSIDE
+    numpy (np.repeat row-gather) in flat slices of ≤ SCATTER_FANOUT_BYTES,
+    each immediately folded to ≤1 partial row per (partition, src) — so
+    the JVM plan stays V-sized end to end, the join never materializes
+    per-edge register rows (measured 4.5× faster than the edge-join form
+    on cnr-2000), and peak task memory is bounded regardless of hub
+    fan-in (a 1e7-in-degree hub at p=10 would otherwise gather ~10 GB in
+    one allocation)."""
 
     def gen(batches):
         import numpy as np
 
+        max_flat = max(1, SCATTER_FANOUT_BYTES // m)
         acc_v = None
         acc_m = None
         for b in batches:
@@ -425,8 +440,12 @@ def _scatter_combiner(m: int):
             )
             flat_src = srcs.flatten().to_numpy(zero_copy_only=False)
             mat = _flat_regs(b, "regs", m)
+            # rep is FLAT-indexed (one entry per src), so any flat slice
+            # is a valid fold unit — no row alignment needed to chunk
             rep = np.repeat(np.arange(len(counts)), counts)
-            acc_v, acc_m = _acc_fold(acc_v, acc_m, flat_src, mat[rep])
+            for a in range(0, len(flat_src), max_flat):
+                sl = slice(a, min(a + max_flat, len(flat_src)))
+                acc_v, acc_m = _acc_fold(acc_v, acc_m, flat_src[sl], mat[rep[sl]])
         if acc_v is not None:
             yield _emit_regs(acc_v, acc_m, m)
 
@@ -460,22 +479,40 @@ def _superstep_packed(csr_t: DataFrame, regs: DataFrame, m: int) -> DataFrame:
 
 
 def build_transposed_csr(
-    edges: DataFrame, verts: DataFrame, num_partitions: int
+    edges: DataFrame,
+    verts: DataFrame,
+    num_partitions: int,
+    max_segment: int = 4096,
 ) -> DataFrame:
     """(dst, srcs array<long>) hash-partitioned by dst, WITH a self-loop
     per vertex (so every vertex appears and its own registers contribute
     to its ball — the superstep's self-merge, folded into the data) — the
-    loop-invariant gather side of the packed HyperBall superstep. At web
-    scale, hub DESTINATIONS should additionally be segmented
-    (build_csr_segments on the transpose) so no single Arrow batch
-    repeats a 1e7-register row — the same discipline as the PageRank
-    scatter."""
+    loop-invariant gather side of the packed HyperBall superstep.
+
+    Hub DESTINATIONS are SEGMENTED (build_csr_segments' discipline on the
+    transpose, graph_build.py:111): each in-edge gets a deterministic
+    segment ``pmod(xxhash64(src), ceil(indeg/max_segment))`` BEFORE the
+    collect, so no collect_list buffer, no parquet/Arrow row, and no
+    scatter gather ever holds a 1e7-in-degree hub's full list — a hub
+    becomes ceil(indeg/max_segment) rows of ~max_segment srcs each. The
+    superstep join key stays ``dst`` (the regs row joins once per
+    segment, duplicating m bytes per extra segment — ~1 KiB at p=10) and
+    _acc_fold's partial max merges duplicate-vertex partials, so
+    segmentation composes with zero semantic change. The one-time build
+    pays an extra E-sized indeg join; the loop is unchanged."""
     with_self = edges.select("src", "dst").unionByName(
         verts.select(F.col("vertex").alias("src"), F.col("vertex").alias("dst"))
     )
+    indeg = with_self.groupBy("dst").agg(F.count("*").cast("long").alias("_indeg"))
+    nseg = F.greatest(
+        F.lit(1), F.ceil(F.col("_indeg") / F.lit(max_segment)).cast("int")
+    )
     return (
-        with_self.groupBy("dst")
+        with_self.join(indeg, "dst")
+        .withColumn("_seg", F.pmod(F.xxhash64("src"), nseg))
+        .groupBy("dst", "_seg")
         .agg(F.collect_list("src").alias("srcs"))
+        .select("dst", "srcs")
         .repartition(num_partitions, "dst")
     )
 

@@ -24,7 +24,11 @@ entropy coder):
                          be 0), trailing run implicit via parity — the
                          exact BVGraph block convention,
    res_gaps  array<long> residual successors gap-coded exactly like
-                         encode_gaps: [first − src, gap, gap, …])
+                         encode_gaps: [first − src, gap, gap, …],
+   root_src  long        src of the reference-chain BASE (standalone
+                         row) — the columnar .pointers/.states analogue
+                         that bounds a point read to the ≤ w·r+1 rows in
+                         [root_src, src] instead of the bucket prefix)
 
 outdegree is NOT stored — unlike the bit-packed BVGraph stream, the
 column layout knows both array lengths, and copied-count follows from
@@ -46,9 +50,10 @@ A referenced list must sit within the previous ``window`` ROWS of the
 same bucket and have chain depth < ``max_ref`` (BVGraph maxrefcount;
 cnr-2000 uses 3) — decode retains only a window-sized deque.
 
-All arithmetic is int64 with two's-complement wraparound (numpy's native
-behavior — the same mod-2⁶⁴ contract as graph_build._wrap_sub64), so the
-codec is lossless on arbitrary hashed ids, not just dense ones.
+All arithmetic — residual gaps AND the ref delta — is int64 with
+two's-complement wraparound (numpy's native behavior, the same mod-2⁶⁴
+contract as graph_build._wrap_sub64), so the codec is lossless on
+arbitrary hashed ids spanning the full int64 range, not just dense ones.
 """
 
 from __future__ import annotations
@@ -57,7 +62,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 ENC_SCHEMA = (
-    "bucket int, src long, ref long, blocks array<int>, res_gaps array<long>"
+    "bucket int, src long, ref long, blocks array<int>, res_gaps array<long>,"
+    " root_src long"
 )
 
 
@@ -94,20 +100,33 @@ def _apply_blocks(ref_list, blocks: list[int]):
     return np.concatenate(pieces)
 
 
-def _encode_pdf(pdf, window: int, max_ref: int):
-    import numpy as np
-    import pandas as pd
+def _encode_rows(srcs, dsts_seq, window: int, max_ref: int, reset_every=None):
+    """Shared encode loop: for each (src, dsts) in src order, pick the
+    cheapest window reference (or standalone) and yield
 
-    pdf = pdf.sort_values("src")
-    bkt = int(pdf["_bkt"].iloc[0]) if len(pdf) else 0
-    win: list[tuple[int, "np.ndarray", int]] = []  # (src, list, chain depth)
-    o_src, o_ref, o_blocks, o_res = [], [], [], []
-    for src, dsts in zip(pdf["src"].tolist(), pdf["dsts"].to_numpy()):
+        (src, off, ref_src, blocks, gaps, cur, root_src)
+
+    where ``off`` is the WINDOW OFFSET (0 = standalone, k = the list k
+    rows back — what a bit stream codes, BVGraph's ReferenceOffset),
+    ``ref_src`` the referenced src (== src when standalone), ``gaps`` the
+    residual successors gap-coded mod 2⁶⁴, ``cur`` the full decoded list
+    and ``root_src`` the src of the chain BASE (the standalone row a
+    point read must start decoding from — the columnar analogue of the
+    reference's .pointers/.states O(1) entry,
+    /root/reference/src/bvgraph/random_access.rs:84-221).
+    ``reset_every``: forget the window every N rows (bit-packed chunks
+    decode independently)."""
+    import numpy as np
+
+    win: list = []  # (src, list, chain depth, root_src)
+    for i, (src, dsts) in enumerate(zip(srcs, dsts_seq)):
+        if reset_every is not None and i % reset_every == 0:
+            win = []
         cur = np.asarray(dsts, dtype=np.int64)
         d = len(cur)
         best_cost = d  # standalone cost: d residual gaps
-        best = None  # (ref_src, mask, blocks, depth)
-        for rs, rl, dep in reversed(win):
+        best = None  # (off, ref_src, ref_list, mask, blocks, depth, root)
+        for k, (rs, rl, dep, rroot) in enumerate(reversed(win)):
             if dep >= max_ref or len(rl) == 0:
                 continue
             mask = np.isin(rl, cur, assume_unique=True)
@@ -121,16 +140,14 @@ def _encode_pdf(pdf, window: int, max_ref: int):
             # break to the SMALLEST delta deterministically
             if cost < best_cost:
                 best_cost = cost
-                best = (rs, rl, mask, blocks, dep)
+                best = (k + 1, rs, rl, mask, blocks, dep, rroot)
         if best is None:
-            ref = 0
-            depth = 0
-            blocks = []
-            res = cur
+            off, ref_src, depth, blocks, res, root = 0, src, 0, [], cur, src
         else:
-            rs, rl, mask, blocks, dep = best
-            ref = src - rs
+            off, rs, rl, mask, blocks, dep, rroot = best
+            ref_src = rs
             depth = dep + 1
+            root = rroot
             # copied values keep the referenced list's (sorted) order
             res = np.setdiff1d(cur, rl[mask], assume_unique=True)
         gaps = np.empty(len(res), dtype=np.int64)
@@ -140,13 +157,29 @@ def _encode_pdf(pdf, window: int, max_ref: int):
             with np.errstate(over="ignore"):
                 gaps[0] = res[0] - src
                 gaps[1:] = np.diff(res)
+        yield src, off, ref_src, blocks, gaps, cur, root
+        win.append((src, cur, depth, root))
+        if len(win) > window:
+            win.pop(0)
+
+
+def _encode_pdf(pdf, window: int, max_ref: int):
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("src")
+    bkt = int(pdf["_bkt"].iloc[0]) if len(pdf) else 0
+    o_src, o_ref, o_blocks, o_res, o_root = [], [], [], [], []
+    for src, off, ref_src, blocks, gaps, _cur, root in _encode_rows(
+        pdf["src"].tolist(), pdf["dsts"].to_numpy(), window, max_ref
+    ):
+        with np.errstate(over="ignore"):
+            ref = 0 if off == 0 else np.int64(src) - np.int64(ref_src)
         o_src.append(src)
         o_ref.append(int(ref))
         o_blocks.append([int(b) for b in blocks])
         o_res.append(gaps.tolist())
-        win.append((src, cur, depth))
-        if len(win) > window:
-            win.pop(0)
+        o_root.append(int(root))
     return pd.DataFrame(
         {
             "bucket": [bkt] * len(o_src),
@@ -154,6 +187,7 @@ def _encode_pdf(pdf, window: int, max_ref: int):
             "ref": o_ref,
             "blocks": o_blocks,
             "res_gaps": o_res,
+            "root_src": o_root,
         }
     )
 
@@ -180,14 +214,17 @@ def _decode_pdf(pdf, window: int):
         if ref == 0:
             cur = res
         else:
+            # mod-2^64 inverse of encode's wrapped ref = src − ref_src
+            with np.errstate(over="ignore"):
+                rs = int(np.int64(src) - np.int64(ref))
             rl = None
             for ws, wl in win:
-                if ws == src - ref:
+                if ws == rs:
                     rl = wl
                     break
             if rl is None:
                 raise ValueError(
-                    f"decode_refs: referenced list {src - ref} for {src} "
+                    f"decode_refs: referenced list {rs} for {src} "
                     f"not within the {window}-row window"
                 )
             copied = _apply_blocks(rl, list(blocks))
@@ -208,7 +245,14 @@ def encode_refs(
 ) -> DataFrame:
     """CSR (src, dsts sorted) → reference-coded layout (see module doc).
     Deterministic: fixed range-bucketing over [min(src), max(src)], fixed
-    candidate scan order, ties broken to standalone/smallest delta."""
+    candidate scan order, ties broken to standalone/smallest delta.
+
+    PRECONDITION: ``dsts`` arrays must be sorted AND duplicate-free (the
+    copy-search uses assume_unique set math). build_csr_adjacency
+    collects raw edge rows without dedup — feed it distinct (src, dst)
+    edges (every engine query path does; graphs are edge SETS), or
+    array_distinct the lists first: duplicate entries would silently
+    corrupt the round-trip."""
     mn, mx = adj.agg(F.min("src"), F.max("src")).first()
     if mn is None:
         mn, mx = 0, 0
@@ -236,20 +280,50 @@ def decode_refs(enc: DataFrame, window: int = 7) -> DataFrame:
     )
 
 
+def _decode_chain(rows: dict, u: int):
+    """Decode u's successor list from the src→(ref, blocks, res_gaps) map
+    by walking ONLY its reference chain (≤ max_ref hops) — every chain
+    member lies in [root_src, u] by construction."""
+    import numpy as np
+
+    ref, blocks, res_gaps = rows[u]
+    gaps = np.asarray(res_gaps, dtype=np.int64)
+    if len(gaps):
+        with np.errstate(over="ignore"):
+            res = np.cumsum(gaps) + u
+    else:
+        res = gaps
+    if ref == 0:
+        return res
+    with np.errstate(over="ignore"):
+        rs = int(np.int64(u) - np.int64(ref))
+    copied = _apply_blocks(_decode_chain(rows, rs), list(blocks))
+    return np.sort(np.concatenate([copied, res]))
+
+
 def successors_from_refs(enc: DataFrame, u: int, window: int = 7) -> DataFrame:
-    """Random-access successors(u) on the ref-coded table: one pruned
-    point read resolves u's bucket, then ONLY that bucket's prefix
-    (src ≤ u) is decoded — references always point backward, so the
-    prefix is self-contained. Same accounting as the plain-CSR
-    ``successors`` path (a bucket-pruned scan, not an mmap jump): the
-    copy codec costs a bucket-prefix decode per point query, which is
-    why the decoded CSR stays the QUERY layout and the ref layout is the
-    STORAGE/ARCHIVE layout."""
-    row = enc.where(F.col("src") == F.lit(u)).select("bucket").first()
-    if row is None:
-        spark = enc.sparkSession
-        return spark.createDataFrame([], "src long, dsts array<long>")
-    prefix = enc.where(
-        (F.col("bucket") == F.lit(int(row.bucket))) & (F.col("src") <= F.lit(u))
+    """Random-access successors(u) on the ref-coded table via the stored
+    chain root: ONE job reads only the rows in [u's root_src, u] of u's
+    bucket (≤ window·max_ref+1 rows — the chain hops are each ≤ window
+    rows back and the chain is ≤ max_ref deep), then walks the reference
+    chain driver-side. This is the columnar analogue of the reference's
+    .pointers/.states O(1) random-access entry
+    (/root/reference/src/bvgraph/random_access.rs:84-221,
+    factories/bvgraph_decoder_factory.rs:46-58): the point-read cost is
+    the same bucket-pruned scan as the plain-CSR ``successors`` path
+    plus a bounded (≤ w·r+1 row) decode, NOT a bucket-prefix decode."""
+    spark = enc.sparkSession
+    anchor = enc.where(F.col("src") == F.lit(u)).select(
+        "bucket", F.col("root_src").alias("_root")
     )
-    return decode_refs(prefix, window).where(F.col("src") == F.lit(u))
+    slice_rows = (
+        enc.join(F.broadcast(anchor), "bucket")
+        .where((F.col("src") >= F.col("_root")) & (F.col("src") <= F.lit(u)))
+        .select("src", "ref", "blocks", "res_gaps")
+        .collect()
+    )
+    if not slice_rows:
+        return spark.createDataFrame([], "src long, dsts array<long>")
+    rows = {r.src: (r.ref, r.blocks, r.res_gaps) for r in slice_rows}
+    dsts = [int(x) for x in _decode_chain(rows, u)]
+    return spark.createDataFrame([(u, dsts)], "src long, dsts array<long>")

@@ -71,6 +71,24 @@ def successors_sql() -> str:
     )
 
 
+def successors_layouts_sql(tags: tuple[str, ...]) -> str:
+    """Tagged union of the canonical successor table, one copy per storage
+    layout the engine round-trips (segmented / gaps / refs / bitpacked /
+    chain-root point reads …). Every layout must reproduce the SAME
+    adjacency, so the oracle is the base successor list cross-tagged —
+    one registry slot gates them all (the driver's correctness sweep
+    stops at 50 rows, so near-duplicate gates are consolidated)."""
+    unions = " UNION ALL ".join(
+        f"SELECT '{t}' AS layout, vertex, succs FROM base" for t in tags
+    )
+    return (
+        f"WITH {_graph_ctes()},\n"
+        f"base AS (SELECT src AS vertex,"
+        f" string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS succs"
+        f" FROM edges GROUP BY src)\n" + unions
+    )
+
+
 def successors_of_sql(u: int) -> str:
     return (
         f"WITH {_graph_ctes()}\n"
