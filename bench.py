@@ -270,6 +270,50 @@ def main() -> None:
         storage["cnr2000"]["nodes"] = cnr_meta["nodes"]
         storage["cnr2000"]["reference_bvgraph_bits_per_link"] = 2.897
         storage["cnr2000"]["refs_encode_sec"] = cnr_encode_sec
+
+        # below-parquet gamma/zeta bit packing of the ref layout (the
+        # last 1.39x closed: operators/bitpack.py) — standard w7/r3 and
+        # the reference's high-compression config (w=16, unbounded chain,
+        # script.py:24 {"w":"16","c":"2000000000"})
+        from webgraph_ans_rs_spark.operators.bitpack import (
+            decode_refs_bitpacked,
+            encode_refs_bitpacked,
+        )
+
+        for bp_name, bp_w, bp_mr in (
+            ("csr_refs_bitpacked", 7, 3),
+            ("csr_refs_bitpacked_hc", 16, 2_000_000_000),
+        ):
+            t0 = time.time()
+            bp = encode_refs_bitpacked(
+                cnr_adj, num_buckets=8, window=bp_w, max_ref=bp_mr
+            ).persist()
+            bp.count()
+            bp_enc_sec = round(time.time() - t0, 3)
+            bp_path = f"{tmp}/{bp_name}"
+            (
+                bp.repartition(8, "bucket")
+                .sortWithinPartitions("bucket", "first_src")
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .parquet(bp_path)
+            )
+            t0 = time.time()
+            n_bp_arcs = (
+                decode_refs_bitpacked(bp, window=bp_w)
+                .agg(F.coalesce(F.sum(F.size("dsts")), F.lit(0)))
+                .first()[0]
+            )
+            bp_dec_sec = round(time.time() - t0, 3)
+            assert n_bp_arcs == cnr_meta["arcs"], (bp_name, n_bp_arcs)
+            bpb = dir_bytes(spark, bp_path)
+            storage["cnr2000"]["layouts"][f"{bp_name}-zstd"] = {
+                "bytes": bpb,
+                "bits_per_link": round(8.0 * bpb / cnr_meta["arcs"], 3),
+                "encode_sec": bp_enc_sec,
+                "decode_sec": bp_dec_sec,
+            }
+            bp.unpersist()
         # copy-coverage parity stat: arcs NOT stored as residuals are
         # copied or nothing — directly comparable to the reference
         # artifact's copiedarcs+intervalisedarcs=2638802 of 3216152
@@ -292,6 +336,20 @@ def main() -> None:
             F.coalesce(F.sum(F.size("dsts")), F.lit(0))
         ).first()
         storage["cnr2000"]["refs_decode_sec"] = round(time.time() - t0, 3)
+        # chain-root point reads: ≤ window·max_ref+1 rows decoded per
+        # probe (the .pointers/.states analogue) — should cost ~a pruned
+        # scan, not a bucket-prefix decode
+        from webgraph_ans_rs_spark.operators.refcodec import successors_from_refs
+
+        pr_probes = [1 + 32363 * i for i in range(8)]  # spread over nodes
+        t0 = time.time()
+        n_pt = sum(
+            successors_from_refs(cnr_enc, u).count() for u in pr_probes
+        )
+        storage["cnr2000"]["refs_point_read_ms_per_probe"] = round(
+            1e3 * (time.time() - t0) / len(pr_probes), 1
+        )
+        storage["cnr2000"]["refs_point_read_hits"] = int(n_pt)
         cnr_enc.unpersist()
         # flagship kernels on the real graph
         cnr_verts = spark.range(0, cnr_meta["nodes"]).select(
@@ -384,6 +442,14 @@ def main() -> None:
         "cnr2000_bits_per_link": storage.get("cnr2000", {})
         .get("layouts", {})
         .get("csr_dense_refs-zstd", {})
+        .get("bits_per_link"),
+        "cnr2000_bitpacked_bits_per_link": storage.get("cnr2000", {})
+        .get("layouts", {})
+        .get("csr_refs_bitpacked-zstd", {})
+        .get("bits_per_link"),
+        "cnr2000_bitpacked_hc_bits_per_link": storage.get("cnr2000", {})
+        .get("layouts", {})
+        .get("csr_refs_bitpacked_hc-zstd", {})
         .get("bits_per_link"),
     }
     detail = dict(

@@ -1,0 +1,110 @@
+"""gamma/zeta bit-packed ref layout: lossless round-trip, chunk
+independence, random access, and hashed-id wraparound."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webgraph_ans_rs_spark.operators.bitpack import (
+    decode_refs_bitpacked,
+    encode_refs_bitpacked,
+    successors_from_bitpacked,
+)
+from webgraph_ans_rs_spark.operators.graph_build import build_csr_adjacency
+
+from tests.conftest import seeded_random_graph
+
+
+def _adj_map(df):
+    return {r.src: list(r.dsts) for r in df.collect()}
+
+
+def test_bitpack_roundtrip_seeded_graph(spark):
+    edges, _, _, _ = seeded_random_graph(spark, n=300, m=1500)
+    adj = build_csr_adjacency(edges).persist()
+    packed = encode_refs_bitpacked(adj, num_buckets=4)
+    got = _adj_map(decode_refs_bitpacked(packed))
+    want = _adj_map(adj)
+    adj.unpersist()
+    assert got == want
+
+
+def test_bitpack_chunk_reset_roundtrip(spark):
+    """chunk smaller than the bucket forces multiple chunks per bucket —
+    window resets must keep every chunk self-contained."""
+    edges, _, _, _ = seeded_random_graph(spark, n=300, m=1500)
+    adj = build_csr_adjacency(edges).persist()
+    packed = encode_refs_bitpacked(adj, num_buckets=2, chunk=16).persist()
+    n_chunks = packed.count()
+    assert n_chunks > 4  # actually chunked
+    got = _adj_map(decode_refs_bitpacked(packed))
+    want = _adj_map(adj)
+    packed.unpersist()
+    adj.unpersist()
+    assert got == want
+
+
+def test_bitpack_copy_heavy_lists(spark):
+    """Near-identical consecutive lists (the BV copy case) round-trip
+    with blocks + implicit trailing runs exercised."""
+    base = list(range(0, 40, 2))
+    rows = []
+    for s in range(20):
+        dsts = sorted(set(base + [s * 3 + 1]) - {s * 2})
+        rows.append((s, dsts))
+    adj = spark.createDataFrame(rows, "src long, dsts array<long>")
+    packed = encode_refs_bitpacked(adj, num_buckets=1)
+    assert _adj_map(decode_refs_bitpacked(packed)) == dict(
+        (s, d) for s, d in rows
+    )
+
+
+def test_bitpack_hashed_full_range_ids(spark):
+    """xxhash64 ids span the full signed-int64 range: src deltas, first
+    residual gaps, and cumsum must all wrap mod 2^64 losslessly."""
+    edges, _, _, _ = seeded_random_graph(spark, n=200, m=800)
+    hashed = edges.select(
+        F.xxhash64(F.col("src").cast("string")).alias("src"),
+        F.xxhash64(F.col("dst").cast("string")).alias("dst"),
+    )
+    adj = build_csr_adjacency(hashed).persist()
+    packed = encode_refs_bitpacked(adj, num_buckets=4, chunk=32)
+    got = _adj_map(decode_refs_bitpacked(packed))
+    want = _adj_map(adj)
+    adj.unpersist()
+    assert got == want
+
+
+def test_bitpack_random_access(spark):
+    edges, _, _, _ = seeded_random_graph(spark, n=300, m=1500)
+    adj = build_csr_adjacency(edges).persist()
+    want = _adj_map(adj)
+    packed = encode_refs_bitpacked(adj, num_buckets=4, chunk=32).persist()
+    probes = sorted(want)[:3] + sorted(want)[-3:] + [10**12]  # + a miss
+    for u in probes:
+        got = {r.src: list(r.dsts) for r in successors_from_bitpacked(packed, u).collect()}
+        if u in want:
+            assert got == {u: want[u]}, u
+        else:
+            assert got == {}
+    packed.unpersist()
+    adj.unpersist()
+
+
+def test_bitpack_beats_columnar_refs_bits(spark):
+    """The whole point: on a locality-preserving graph the bit-packed
+    payload must be materially smaller than what the columnar ref layout
+    costs in parquet — compare raw payload bits vs the published
+    accounting later in bench; here just sanity-check payload bits/link
+    lands under 32 (int32 floor of the columnar arrays)."""
+    from webgraph_ans_rs_spark.plans.bench_graph import synthetic_edges_local
+
+    edges = synthetic_edges_local(spark, 20000).persist()
+    n = edges.count()
+    adj = build_csr_adjacency(edges).persist()
+    packed = encode_refs_bitpacked(adj, num_buckets=4)
+    payload_bytes = packed.agg(F.sum(F.length("payload"))).first()[0]
+    bits_per_link = 8.0 * payload_bytes / n
+    edges.unpersist()
+    adj.unpersist()
+    assert bits_per_link < 32, bits_per_link

@@ -141,8 +141,9 @@ def test_encode_deterministic(spark):
 
 
 def test_point_lookup_on_ref_coded_table(spark):
-    """successors_from_refs decodes only u's bucket prefix and matches the
-    full decode — including a u whose list is ref-coded."""
+    """successors_from_refs reads only the [root_src, u] chain slice (one
+    pruned job) and matches the full decode — including a u whose list is
+    ref-coded (the chain walk actually exercised)."""
     edges = _weblike_edges(spark, n=600)
     adj = build_csr_adjacency(edges)
     orig = {r.src: r.dsts for r in adj.collect()}

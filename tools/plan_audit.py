@@ -267,7 +267,10 @@ def main() -> int:
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         ppr_seeds = vertices(docs).limit(5).select("vertex")
-        ppr2 = ppr_superstep_probe(edges, vertices(docs), ppr_seeds)
+        probe_caches: list = []
+        ppr2 = ppr_superstep_probe(
+            edges, vertices(docs), ppr_seeds, release_caches=probe_caches
+        )
         jplan = ppr2._jdf.queryExecution().executedPlan()
         n_exchange = count_nodes(jplan, "Exchange")
         n_sort = count_nodes(jplan, "Sort")
@@ -277,6 +280,8 @@ def main() -> int:
             n_exchange == 1 and n_sort == 0 and n_shj == 2,
             f"(exchanges={n_exchange} sorts={n_sort} shj={n_shj})",
         )
+        for c in probe_caches:  # plan inspected — release the probe caches
+            c.unpersist(blocking=False)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 

@@ -117,11 +117,17 @@ def ppr_superstep_probe(
     seeds: DataFrame,
     damping: float = 0.85,
     shuffle_partitions: int | None = None,
+    release_caches: list | None = None,
 ) -> DataFrame:
     """Un-executed superstep-2 frame of the personalized loop, built on the
     production shapes (superstep 1 executed + checkpointed exactly as the
     loop does) — for tools/plan_audit.py check 17: the PPR superstep must
-    plan exactly ONE exchange (the gather), like the uniform loop."""
+    plan exactly ONE exchange (the gather), like the uniform loop.
+
+    Pass ``release_caches=[]`` to receive the cached frames the probe's
+    plan depends on and unpersist them AFTER inspecting the plan; without
+    it the probe unpersists them immediately (fine for executing, but the
+    inspected plan then re-expands the cached lineage)."""
     spark = edges.sparkSession
     p = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_seeds = seeds.count()
@@ -157,7 +163,17 @@ def ppr_superstep_probe(
     pr = _ppr_superstep_frame(csr, pr, zeros, sv, coef, damping).localCheckpoint(
         eager=True
     )
-    return _ppr_superstep_frame(csr, pr, zeros, sv, coef, damping)
+    probe = _ppr_superstep_frame(csr, pr, zeros, sv, coef, damping)
+    if release_caches is not None:
+        # cache substitution happens at PLANNING time, so the frames must
+        # stay persisted until the caller has inspected the probe's plan;
+        # the caller then unpersists these (otherwise they leak for the
+        # session — measured by the round-4 advice pass)
+        release_caches.extend([sv, csr, zeros])
+    else:
+        for c in (sv, csr, zeros):
+            c.unpersist(blocking=False)
+    return probe
 
 
 def pagerank(
@@ -503,6 +519,7 @@ def _ppr_loop(
             .localCheckpoint(eager=True)
         )
         it = 0
+        converged = tol is None
         for it in range(1, max_iter + 1):
             dm = (
                 pr.join(dangling_verts, "vertex", "left_semi")
@@ -523,9 +540,20 @@ def _ppr_loop(
                 )
                 pr = new_pr
                 if l1 <= tol:
+                    converged = True
                     break
             else:
                 pr = new_pr
+        if not converged:
+            # loudly distinguish "converged exactly at max_iter" from
+            # "exhausted max_iter with l1 > tol" — library callers would
+            # otherwise get silently-unconverged ranks (the DuckDB oracle
+            # returns zero rows in this regime, so the gate config never
+            # reaches here)
+            raise RuntimeError(
+                f"personalized_pagerank_converged: L1 delta still > {tol} "
+                f"after max_iter={max_iter}; raise max_iter or tol"
+            )
         return pr, it
     finally:
         spark.conf.set(coalesce_key, coalesce_prev)
