@@ -200,7 +200,10 @@ def main() -> None:
 
         def _narrow_refs(enc):
             # dense ids → int32 ref/res_gaps (the encode_gaps(int_gaps=True)
-            # contract); blocks are int already
+            # contract); blocks are int already. root_src (the random-access
+            # chain pointer) is DROPPED from the storage rows — the
+            # reference's bits/link likewise counts .graph only, with the
+            # .offsets/.pointers random-access index as a separate artifact
             return enc.select(
                 "bucket",
                 "src",
@@ -255,7 +258,8 @@ def main() -> None:
         cnr_adj = build_csr_adjacency(cnr_edges, 8).persist()
         cnr_adj.count()
         t0 = time.time()
-        cnr_enc = _narrow_refs(encode_refs(cnr_adj, 8)).persist()
+        cnr_enc_full = encode_refs(cnr_adj, 8).persist()  # incl. root_src
+        cnr_enc = _narrow_refs(cnr_enc_full).persist()
         cnr_enc.count()
         cnr_encode_sec = round(time.time() - t0, 3)
         _measure_layouts(
@@ -344,13 +348,14 @@ def main() -> None:
         pr_probes = [1 + 32363 * i for i in range(8)]  # spread over nodes
         t0 = time.time()
         n_pt = sum(
-            successors_from_refs(cnr_enc, u).count() for u in pr_probes
+            successors_from_refs(cnr_enc_full, u).count() for u in pr_probes
         )
         storage["cnr2000"]["refs_point_read_ms_per_probe"] = round(
             1e3 * (time.time() - t0) / len(pr_probes), 1
         )
         storage["cnr2000"]["refs_point_read_hits"] = int(n_pt)
         cnr_enc.unpersist()
+        cnr_enc_full.unpersist()
         # flagship kernels on the real graph
         cnr_verts = spark.range(0, cnr_meta["nodes"]).select(
             F.col("id").alias("vertex")

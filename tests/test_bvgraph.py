@@ -238,3 +238,43 @@ def test_cnr2000_hyperball_tracks_exact_on_induced_subgraph(spark):
     hb = {r.t: r.nf_est for r in hyperball_packed(edges, verts, 3, p=10).collect()}
     for t in ex:
         assert abs(hb[t] - ex[t]) / ex[t] < 0.10, (t, ex[t], hb[t])
+
+
+def test_parquet_to_bvgraph_export_roundtrip(tmp_path):
+    """EGRESS: edge parquet -> .graph/.properties -> decode must return
+    the exact graph (full format interop: the engine both ingests and
+    emits the reference's native artifact)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webgraph_ans_rs_spark.sources.bvgraph import (
+        decode_bvgraph,
+        load_properties,
+        parquet_to_bvgraph,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 200
+    src = rng.randint(0, n, 1500)
+    dst = rng.randint(0, n, 1500)
+    pairs = sorted(set(zip(src.tolist(), dst.tolist())))
+    edge_path = str(tmp_path / "edges.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "src": np.array([p[0] for p in pairs], dtype=np.int64),
+                "dst": np.array([p[1] for p in pairs], dtype=np.int64),
+            }
+        ),
+        edge_path,
+    )
+    base = str(tmp_path / "exported")
+    meta = parquet_to_bvgraph(edge_path, base, num_nodes=n)
+    assert meta["nodes"] == n and meta["arcs"] == len(pairs)
+    props = load_properties(base + ".properties")
+    assert (props.nodes, props.window_size, props.zeta_k) == (n, 7, 3)
+    with open(base + ".graph", "rb") as f:
+        lists = decode_bvgraph(f.read(), props)
+    got = [(s, d) for s, row in enumerate(lists) for d in row]
+    assert got == pairs

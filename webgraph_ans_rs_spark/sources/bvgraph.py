@@ -399,6 +399,79 @@ def bvgraph_to_parquet(basename: str, out_path: str) -> dict:
     return meta
 
 
+def parquet_to_bvgraph(
+    edge_path: str,
+    out_basename: str,
+    window_size: int = 7,
+    min_interval_length: int = 4,
+    zeta_k: int = 3,
+    max_ref_count: int = 3,
+    num_nodes: int | None = None,
+) -> dict:
+    """EXPORT: (src, dst) edge parquet → `<out_basename>.graph` +
+    `.properties` in the public BVGraph v0 format (the reference
+    toolchain's native input). The egress mirror of
+    ``bvgraph_to_parquet`` — together they make the engine
+    round-trip-compatible with the reference's own artifacts.
+
+    Node ids must be dense 0..n-1 (the BVGraph node universe —
+    operators/graph_build.dense_ids produces exactly this; n defaults to
+    max(id)+1). Driver-side one-time tool, like the ingest. The written
+    graph is VERIFIED by re-decoding before returning."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(edge_path, columns=["src", "dst"])
+    src = t.column("src").to_numpy()
+    dst = t.column("dst").to_numpy()
+    n = int(num_nodes) if num_nodes is not None else (
+        int(max(src.max(), dst.max())) + 1 if len(src) else 0
+    )
+    if len(src) and (src.min() < 0 or dst.min() < 0):
+        raise ValueError("BVGraph export needs dense non-negative ids")
+    lists: list[list[int]] = [[] for _ in range(n)]
+    import numpy as np
+
+    order = np.lexsort((dst, src))
+    for s, d in zip(src[order].tolist(), dst[order].tolist()):
+        lists[s].append(d)
+    n_arcs = len(src)
+    data = encode_bvgraph(
+        lists,
+        window_size=window_size,
+        min_interval_length=min_interval_length,
+        zeta_k=zeta_k,
+        max_ref_count=max_ref_count,
+    )
+    os.makedirs(os.path.dirname(out_basename) or ".", exist_ok=True)
+    with open(out_basename + ".graph", "wb") as f:
+        f.write(data)
+    props_text = (
+        "#BVGraph properties\n"
+        f"version=0\n"
+        f"graphclass=it.unimi.dsi.webgraph.BVGraph\n"
+        f"nodes={n}\n"
+        f"arcs={n_arcs}\n"
+        f"windowsize={window_size}\n"
+        f"maxrefcount={max_ref_count}\n"
+        f"minintervallength={min_interval_length}\n"
+        f"zetak={zeta_k}\n"
+        f"compressionflags=\n"
+    )
+    with open(out_basename + ".properties", "w") as f:
+        f.write(props_text)
+    # verify: the file we just wrote must decode back to the same graph
+    props = load_properties(out_basename + ".properties")
+    back = decode_bvgraph(data, props)
+    if back != lists:
+        raise ValueError("export verification failed: decode != input")
+    return {
+        "nodes": n,
+        "arcs": n_arcs,
+        "bytes": len(data),
+        "bits_per_link": round(8.0 * len(data) / n_arcs, 3) if n_arcs else 0.0,
+    }
+
+
 def ensure_cnr2000(basename: str = CNR_BASENAME) -> tuple[str, dict]:
     """Decode-once cache of the cnr-2000 edge table (repo-local .cache/,
     gitignored). Returns (parquet_path, {'nodes','arcs'})."""
