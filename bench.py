@@ -284,6 +284,8 @@ def main() -> None:
             encode_refs_bitpacked,
         )
 
+        pr_probes = [1 + 32363 * i for i in range(8)]  # spread over nodes
+
         for bp_name, bp_w, bp_mr in (
             ("csr_refs_bitpacked", 7, 3),
             ("csr_refs_bitpacked_hc", 16, 2_000_000_000),
@@ -311,12 +313,29 @@ def main() -> None:
             bp_dec_sec = round(time.time() - t0, 3)
             assert n_bp_arcs == cnr_meta["arcs"], (bp_name, n_bp_arcs)
             bpb = dir_bytes(spark, bp_path)
-            storage["cnr2000"]["layouts"][f"{bp_name}-zstd"] = {
+            row = {
                 "bytes": bpb,
                 "bits_per_link": round(8.0 * bpb / cnr_meta["arcs"], 3),
                 "encode_sec": bp_enc_sec,
                 "decode_sec": bp_dec_sec,
             }
+            if bp_name == "csr_refs_bitpacked":
+                # single-chunk point reads (first/last_src pruning + one
+                # chunk decoded driver-side)
+                from webgraph_ans_rs_spark.operators.bitpack import (
+                    successors_from_bitpacked,
+                )
+
+                t0 = time.time()
+                n_hits = sum(
+                    successors_from_bitpacked(bp, u, window=bp_w).count()
+                    for u in pr_probes
+                )
+                row["point_read_ms_per_probe"] = round(
+                    1e3 * (time.time() - t0) / len(pr_probes), 1
+                )
+                row["point_read_hits"] = int(n_hits)
+            storage["cnr2000"]["layouts"][f"{bp_name}-zstd"] = row
             bp.unpersist()
         # copy-coverage parity stat: arcs NOT stored as residuals are
         # copied or nothing — directly comparable to the reference
@@ -345,7 +364,6 @@ def main() -> None:
         # scan, not a bucket-prefix decode
         from webgraph_ans_rs_spark.operators.refcodec import successors_from_refs
 
-        pr_probes = [1 + 32363 * i for i in range(8)]  # spread over nodes
         t0 = time.time()
         n_pt = sum(
             successors_from_refs(cnr_enc_full, u).count() for u in pr_probes
