@@ -335,6 +335,20 @@ def main() -> None:
                     1e3 * (time.time() - t0) / len(pr_probes), 1
                 )
                 row["point_read_hits"] = int(n_hits)
+                from webgraph_ans_rs_spark.operators.bitpack import (
+                    successors_from_bitpacked_batch,
+                )
+
+                bp_probes = spark.range(0, 1000).select(
+                    (
+                        (F.col("id") * 2654435761) % F.lit(cnr_meta["nodes"])
+                    ).alias("vertex")
+                ).distinct()
+                t0 = time.time()
+                successors_from_bitpacked_batch(
+                    bp, bp_probes, window=bp_w
+                ).count()
+                row["batch_1000_sec"] = round(time.time() - t0, 3)
             storage["cnr2000"]["layouts"][f"{bp_name}-zstd"] = row
             bp.unpersist()
         # copy-coverage parity stat: arcs NOT stored as residuals are
@@ -372,6 +386,27 @@ def main() -> None:
             1e3 * (time.time() - t0) / len(pr_probes), 1
         )
         storage["cnr2000"]["refs_point_read_hits"] = int(n_pt)
+        # BATCH random access (the reference's protocol shape:
+        # bench_random_access.rs enumerates millions of nodes in one go;
+        # one driver job per probe amortizes nothing) — 1000 probes in
+        # ONE distributed job
+        from webgraph_ans_rs_spark.operators.refcodec import (
+            successors_from_refs_batch,
+        )
+
+        batch_probes = spark.range(0, 1000).select(
+            ((F.col("id") * 2654435761) % F.lit(cnr_meta["nodes"])).alias(
+                "vertex"
+            )
+        ).distinct()
+        t0 = time.time()
+        n_batch_arcs = (
+            successors_from_refs_batch(cnr_enc_full, batch_probes)
+            .agg(F.coalesce(F.sum(F.size("dsts")), F.lit(0)))
+            .first()[0]
+        )
+        storage["cnr2000"]["refs_batch_1000_sec"] = round(time.time() - t0, 3)
+        storage["cnr2000"]["refs_batch_1000_arcs"] = int(n_batch_arcs)
         cnr_enc.unpersist()
         cnr_enc_full.unpersist()
         # flagship kernels on the real graph

@@ -108,3 +108,24 @@ def test_bitpack_beats_columnar_refs_bits(spark):
     edges.unpersist()
     adj.unpersist()
     assert bits_per_link < 32, bits_per_link
+
+
+def test_bitpack_batch_random_access(spark):
+    from webgraph_ans_rs_spark.operators.bitpack import (
+        successors_from_bitpacked_batch,
+    )
+
+    edges, _, _, _ = seeded_random_graph(spark, n=300, m=1500)
+    adj = build_csr_adjacency(edges).persist()
+    want = _adj_map(adj)
+    packed = encode_refs_bitpacked(adj, num_buckets=4, chunk=32).persist()
+    keys = sorted(want)
+    probe_ids = keys[::17] + [10**12]  # spread + one miss
+    probes = spark.createDataFrame([(u,) for u in probe_ids], "vertex long")
+    got = {
+        r.src: list(r.dsts)
+        for r in successors_from_bitpacked_batch(packed, probes).collect()
+    }
+    assert got == {u: want[u] for u in probe_ids if u in want}
+    packed.unpersist()
+    adj.unpersist()

@@ -170,3 +170,26 @@ def test_bucket_count_only_changes_layout_not_values(spark, num_buckets):
         for r in decode_refs(encode_refs(adj, num_buckets=num_buckets)).collect()
     }
     assert got == orig
+
+
+def test_batch_point_lookup_on_ref_coded_table(spark):
+    """successors_from_refs_batch: one distributed job resolves many
+    probes via chain slices; equals per-probe lookups and the full
+    decode, including ref-coded rows and a missing probe."""
+    from webgraph_ans_rs_spark.operators.refcodec import (
+        successors_from_refs_batch,
+    )
+
+    edges = _weblike_edges(spark, n=600)
+    adj = build_csr_adjacency(edges)
+    orig = {r.src: list(r.dsts) for r in adj.collect()}
+    enc = encode_refs(adj, num_buckets=3).persist()
+    keys = sorted(orig)
+    probe_ids = keys[::37] + [max(orig) + 999]
+    probes = spark.createDataFrame([(u,) for u in probe_ids], "vertex long")
+    got = {
+        r.src: list(r.dsts)
+        for r in successors_from_refs_batch(enc, probes).collect()
+    }
+    assert got == {u: orig[u] for u in probe_ids if u in orig}
+    enc.unpersist()

@@ -226,6 +226,38 @@ def decode_refs_bitpacked(
     return packed.mapInPandas(gen, "src long, dsts array<long>")
 
 
+def successors_from_bitpacked_batch(
+    packed: DataFrame, probes: DataFrame, window: int = 7, zeta_k: int = 3
+) -> DataFrame:
+    """Batch random access on the bit-packed layout: ONE distributed job.
+    A broadcast range join matches each probe to its single chunk (chunk
+    src-ranges are globally disjoint), then each matched chunk decodes
+    ONCE and emits all its probed lists — k probes cost ≤ k chunk
+    decodes, independent of graph size."""
+
+    def decode_group(pdf):
+        import pandas as pd
+
+        first = int(pdf["first_src"].iloc[0])
+        n = int(pdf["n_rows"].iloc[0])
+        payload = bytes(pdf["payload"].iloc[0])
+        want = set(int(u) for u in pdf["_u"])
+        o_src, o_dsts = [], []
+        for src, cur in _unpack_chunk(first, n, payload, window, zeta_k):
+            if src in want:
+                o_src.append(src)
+                o_dsts.append([int(x) for x in cur])
+        return pd.DataFrame({"src": o_src, "dsts": o_dsts})
+
+    matched = packed.join(
+        F.broadcast(probes.select(F.col("vertex").alias("_u"))),
+        (F.col("first_src") <= F.col("_u")) & (F.col("last_src") >= F.col("_u")),
+    )
+    return matched.groupBy("bucket", "chunk").applyInPandas(
+        decode_group, "src long, dsts array<long>"
+    )
+
+
 def successors_from_bitpacked(
     packed: DataFrame, u: int, window: int = 7, zeta_k: int = 3
 ) -> DataFrame:

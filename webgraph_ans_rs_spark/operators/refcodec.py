@@ -301,6 +301,48 @@ def _decode_chain(rows: dict, u: int):
     return np.sort(np.concatenate([copied, res]))
 
 
+def successors_from_refs_batch(
+    enc: DataFrame, probes: DataFrame, window: int = 7
+) -> DataFrame:
+    """Batch random access: (vertex) probe frame → (src, dsts) for every
+    probe present, in ONE distributed job — the reference's random-access
+    protocol shape (examples/bench_random_access.rs:15,28-41 enumerates
+    millions of nodes; per-probe driver jobs amortize nothing).
+
+    Plan: resolve each probe's (bucket, root_src) by a broadcast semi
+    join, then ONE range join pulls every [root_src, u] chain slice
+    (≤ window·max_ref+1 rows per probe), and a per-probe applyInPandas
+    walks the chain. Work scales with |probes| × chain size, never with
+    bucket size."""
+    anchors = enc.join(
+        F.broadcast(probes.select(F.col("vertex").alias("_u"))),
+        F.col("src") == F.col("_u"),
+    ).select("_u", F.col("bucket").alias("_b"), F.col("root_src").alias("_r"))
+    slices = enc.join(
+        F.broadcast(anchors),
+        (F.col("bucket") == F.col("_b"))
+        & (F.col("src") >= F.col("_r"))
+        & (F.col("src") <= F.col("_u")),
+    ).select("_u", "src", "ref", "blocks", "res_gaps")
+
+    def decode_one(pdf):
+        import pandas as pd
+
+        u = int(pdf["_u"].iloc[0])
+        rows = {
+            int(s): (int(r), list(b), list(g))
+            for s, r, b, g in zip(
+                pdf["src"], pdf["ref"], pdf["blocks"], pdf["res_gaps"]
+            )
+        }
+        dsts = [int(x) for x in _decode_chain(rows, u)]
+        return pd.DataFrame({"src": [u], "dsts": [dsts]})
+
+    return slices.groupBy("_u").applyInPandas(
+        decode_one, "src long, dsts array<long>"
+    )
+
+
 def successors_from_refs(enc: DataFrame, u: int, window: int = 7) -> DataFrame:
     """Random-access successors(u) on the ref-coded table via the stored
     chain root: ONE job reads only the rows in [u's root_src, u] of u's
