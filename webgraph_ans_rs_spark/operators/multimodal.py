@@ -2,11 +2,12 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct — the Spark-side contract (schema, partitioning, Arrow
-batch shape) is real and tested; the actual decoders (PIL/ffmpeg/…) are
-not in this container, so the decode kernels are STUBS: a clearly-marked
-deterministic fake behind the same ``mapInPandas`` signature a real
-decoder would use. Swapping in a real decoder changes one function body,
-not the plan.
+batch shape) is real and tested. PNG payloads decode FOR REAL via the
+pure-stdlib codec (operators/png.py — DEFLATE ships in zlib, no PIL
+needed); JPEG/video decoders are not in this container, so those
+kernels remain STUBS: a clearly-marked deterministic fake behind the
+same ``mapInPandas`` signature a real decoder would use. Swapping in a
+real JPEG/ffmpeg decoder changes one function body, not the plan.
 
 Operators:
   * attach_payload_meta — cheap metadata (byte length, magic-sniffed kind,
@@ -81,10 +82,33 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, channels, feats
 
 
+def _real_decode_png(raw: bytes):
+    """REAL decode for payloads that parse as PNG (pure-stdlib codec,
+    operators/png.py — no PIL needed). Features: per-channel mean and
+    std normalized to [0,1], padded/truncated to N_FAKE_FEATURES,
+    rounded 6dp (deterministic)."""
+    from .png import decode_png
+
+    w, h, c, px = decode_png(raw)
+    a = px.astype("float64") / 255.0
+    feats = []
+    for ch in range(c):
+        feats.append(round(float(a[:, :, ch].mean()), 6))
+        feats.append(round(float(a[:, :, ch].std()), 6))
+    feats = (feats + [0.0] * N_FAKE_FEATURES)[:N_FAKE_FEATURES]
+    return w, h, c, feats
+
+
 def decode_image_batches(
     df: DataFrame, key_col: str = "key", payload_col: str = "payload"
 ) -> DataFrame:
-    """mapInPandas decode: Arrow-batched, one output row per input row."""
+    """mapInPandas decode: Arrow-batched, one output row per input row.
+
+    Payloads that parse as REAL PNGs decode for real (stdlib zlib codec);
+    everything else — JPEG/video (codecs not in this container) and
+    synthetic fixtures that only carry a magic — falls back to the
+    deterministic stub, so the DuckDB gate fixture (fake-PNG bytes)
+    reproduces exactly while genuine images get genuine dimensions."""
     src = df.select(F.col(key_col).alias("key"), F.col(payload_col).alias("payload"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -95,7 +119,13 @@ def decode_image_batches(
                 kind = next(
                     (n for m, n in MAGIC.items() if raw.startswith(m)), "unknown"
                 )
-                w, h, c, f = _fake_decode(raw)
+                if kind == "png":
+                    try:
+                        w, h, c, f = _real_decode_png(raw)
+                    except Exception:
+                        w, h, c, f = _fake_decode(raw)
+                else:
+                    w, h, c, f = _fake_decode(raw)
                 out["key"].append(key)
                 out["kind"].append(kind)
                 out["width"].append(w)
