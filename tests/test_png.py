@@ -105,3 +105,38 @@ def test_decode_image_batches_real_vs_stub(spark):
     fw, fh, fc, ff = _fake_decode(fake)
     assert (got[2].width, got[2].height, got[2].n_channels) == (fw, fh, fc)
     assert [round(x, 6) for x in got[2].features] == ff
+
+
+def test_decode_audio_real_wav_vs_stub(spark):
+    """A genuine PCM WAV (stdlib wave writer) decodes for real — exact
+    sample rate/channels/frames and an analytically-known RMS; a RIFF
+    payload that isn't a WAV falls back to the deterministic stub."""
+    import io
+    import wave
+
+    from webgraph_ans_rs_spark.operators.multimodal import (
+        _fake_audio,
+        decode_audio_batches,
+    )
+
+    # 1 second of a full-scale square wave at 8 kHz mono -> RMS = 1.0
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        sq = np.tile(np.array([-32768, -32768, 32767, 32767], dtype="<i2"), 2000)
+        wf.writeframes(sq.tobytes())
+    real = buf.getvalue()
+    fake = b"RIFF" + b"\x42" * 32
+    df = spark.createDataFrame(
+        [(1, bytearray(real)), (2, bytearray(fake))], "key long, payload binary"
+    )
+    got = {r.key: r for r in decode_audio_batches(df).collect()}
+    assert got[1].kind == "wav"
+    assert (got[1].sample_rate, got[1].n_channels, got[1].n_frames) == (8000, 1, 8000)
+    assert got[1].duration_s == 1.0
+    assert abs(got[1].rms - 1.0) < 1e-4
+    sr, ch, fr, dur, rms = _fake_audio(fake)
+    assert (got[2].sample_rate, got[2].n_channels, got[2].n_frames) == (sr, ch, fr)
+    assert got[2].kind == "riff"

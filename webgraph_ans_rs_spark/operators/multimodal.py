@@ -137,6 +137,86 @@ def decode_image_batches(
     return src.mapInPandas(kernel, DECODE_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "key long, kind string, sample_rate int, n_channels int, n_frames long,"
+    " duration_s double, rms double"
+)
+
+
+def _fake_audio(raw: bytes) -> tuple[int, int, int, float, float]:
+    """STUB for non-parsing audio payloads: md5-derived deterministic
+    (sample_rate, channels, frames, duration, rms)."""
+    h = hashlib.md5(raw or b"").digest()
+    sr = (8000, 16000, 22050, 44100)[h[0] % 4]
+    ch = 1 + h[1] % 2
+    frames = 1000 + int.from_bytes(h[2:5], "big") % 100000
+    return sr, ch, frames, round(frames / sr, 6), round(h[5] / 255.0, 6)
+
+
+def decode_audio_batches(
+    df: DataFrame, key_col: str = "key", payload_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas audio decode. RIFF/WAVE PCM payloads decode FOR REAL
+    via the stdlib ``wave`` module (sample rate, channels, frame count,
+    duration, RMS of the int16 samples — no external codec needed);
+    anything else (mp3/ogg/non-parsing fixtures) falls back to the
+    deterministic stub. Same dispatch discipline as decode_image's PNG
+    path."""
+    src = df.select(F.col(key_col).alias("key"), F.col(payload_col).alias("payload"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for b in batches:
+            out = {
+                "key": [], "kind": [], "sample_rate": [], "n_channels": [],
+                "n_frames": [], "duration_s": [], "rms": [],
+            }
+            for key, payload in zip(b["key"], b["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                kind = next(
+                    (n for m, n in MAGIC.items() if raw.startswith(m)), "unknown"
+                )
+                sr = ch = frames = None
+                if kind == "riff":
+                    try:
+                        with wave.open(io.BytesIO(raw)) as wf:
+                            sr = wf.getframerate()
+                            ch = wf.getnchannels()
+                            frames = wf.getnframes()
+                            width = wf.getsampwidth()
+                            data = wf.readframes(frames)
+                        if width == 2 and data:
+                            samples = np.frombuffer(data, dtype="<i2")
+                            rms = round(
+                                float(
+                                    np.sqrt(np.mean((samples / 32768.0) ** 2))
+                                ),
+                                6,
+                            )
+                        else:
+                            rms = 0.0
+                        dur = round(frames / sr, 6) if sr else 0.0
+                        kind = "wav"
+                    except Exception:
+                        sr = None
+                if sr is None:
+                    sr, ch, frames, dur, rms = _fake_audio(raw)
+                out["key"].append(key)
+                out["kind"].append(kind)
+                out["sample_rate"].append(sr)
+                out["n_channels"].append(ch)
+                out["n_frames"].append(frames)
+                out["duration_s"].append(dur)
+                out["rms"].append(rms)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(kernel, AUDIO_SCHEMA)
+
+
 def frame_sample(
     df: DataFrame,
     every_n: int = 10,
