@@ -579,6 +579,82 @@ def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(edges, verts, NF_MAX_T, p=HB_P)
 
 
+HB_LAYOUT_TAGS = ("column", "packed")
+HC_LAYOUT_P = {"column": HB_P, "packed": HB_P, "packed_p8": HB_P_HIGH}
+
+
+def _q_hyperball_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both register layouts (column / packed) in one tagged union — they
+    must produce bit-identical estimates at equal p, so one registry slot
+    gates both against the cross-tagged oracle (the successors_layouts
+    consolidation pattern; the driver's sweep stops at 50 rows)."""
+    branches = {"column": _q_hyperball, "packed": _q_hyperball_packed}
+    out = None
+    for tag in HB_LAYOUT_TAGS:
+        df = branches[tag](spark, sf_dir).select(
+            F.lit(tag).alias("layout"), "t", "nf_est"
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _q_harmonic_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality across layouts AND precisions (column p6,
+    packed p6 — must match column bit-identically — and packed p8, the
+    tier the column layout stops being sensible at) in one tagged gate."""
+    branches = {
+        "column": _q_harmonic_centrality,
+        "packed": _q_harmonic_centrality_packed,
+        "packed_p8": _q_harmonic_centrality_p8,
+    }
+    out = None
+    for tag in sorted(HC_LAYOUT_P):
+        df = branches[tag](spark, sf_dir).select(
+            F.lit(tag).alias("layout"), "vertex", "hc"
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+HITS_ITERS = 3
+KCORE_K = 11  # bulk und-degree is 12 at the gate sf → a real peel round
+KCORE_MAX_ROUNDS = 16
+AA_CENTER_CAP = 64
+AA_TOP_N = 200
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities, 3 sum-normalized iterations on the hash
+    graph — the second spectral kernel over the same adjacency PageRank
+    gathers; unrolled identically by the oracle."""
+    from webgraph_ans_rs_spark.operators.hits import hits
+
+    edges, verts = _graph(spark, sf_dir)
+    res = hits(edges, verts, num_iter=HITS_ITERS)
+    return res.select(
+        "vertex", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel at k=11: the fixpoint loop must agree with the oracle's
+    bounded unroll (the engine RAISES if the bound is hit unconverged, so
+    a green row certifies convergence within the unroll)."""
+    from webgraph_ans_rs_spark.operators.kcore import kcore
+
+    edges, _ = _graph(spark, sf_dir)
+    return kcore(edges, k=KCORE_K, max_rounds=KCORE_MAX_ROUNDS)
+
+
+def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction: top-200 non-adjacent distance-2 pairs,
+    hub centers capped at deg 64 (identical cut in the oracle)."""
+    from webgraph_ans_rs_spark.operators.linkpred import adamic_adar
+
+    edges, _ = _graph(spark, sf_dir)
+    return adamic_adar(edges, center_cap=AA_CENTER_CAP, top_n=AA_TOP_N)
+
+
 BFS_SEED_MOD = 101
 
 
@@ -698,11 +774,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify": _q_simplify,
         "host_graph": _q_host_graph,
         "neighborhood_function": _q_neighborhood_function,
-        "hyperball": _q_hyperball,
-        "hyperball_packed": _q_hyperball_packed,
-        "harmonic_centrality": _q_harmonic_centrality,
-        "harmonic_centrality_packed": _q_harmonic_centrality_packed,
-        "harmonic_centrality_p8": _q_harmonic_centrality_p8,
+        "hyperball_layouts": _q_hyperball_layouts,
+        "harmonic_layouts": _q_harmonic_layouts,
+        "hits": _q_hits,
+        "kcore": _q_kcore,
+        "adamic_adar": _q_adamic_adar,
         "bfs_distances": _q_bfs_distances,
         "personalized_pagerank": _q_personalized_pagerank,
         "ppr_converged": _q_ppr_converged,
@@ -766,15 +842,13 @@ def oracle_sql() -> dict[str, str]:
         "simplify": oracles.simplify_sql(),
         "host_graph": oracles.host_graph_sql(),
         "neighborhood_function": oracles.neighborhood_function_sql(NF_MAX_T),
-        "hyperball": oracles.hyperball_sql(NF_MAX_T, HB_P),
-        "hyperball_packed": oracles.hyperball_sql(NF_MAX_T, HB_P),
-        "harmonic_centrality": oracles.harmonic_centrality_sql(NF_MAX_T, HB_P),
-        "harmonic_centrality_packed": oracles.harmonic_centrality_sql(
-            NF_MAX_T, HB_P
+        "hyperball_layouts": oracles.hyperball_layouts_sql(
+            HB_LAYOUT_TAGS, NF_MAX_T, HB_P
         ),
-        "harmonic_centrality_p8": oracles.harmonic_centrality_sql(
-            NF_MAX_T, HB_P_HIGH
-        ),
+        "harmonic_layouts": oracles.harmonic_layouts_sql(HC_LAYOUT_P, NF_MAX_T),
+        "hits": oracles.hits_sql(HITS_ITERS),
+        "kcore": oracles.kcore_sql(KCORE_K, KCORE_MAX_ROUNDS),
+        "adamic_adar": oracles.adamic_adar_sql(AA_CENTER_CAP, AA_TOP_N),
         "bfs_distances": oracles.bfs_distances_sql(NF_MAX_T, BFS_SEED_MOD),
         "personalized_pagerank": oracles.personalized_pagerank_sql(
             5, 0.85, BFS_SEED_MOD

@@ -1,0 +1,114 @@
+"""Round-5 kernels: HITS, k-core, Adamic–Adar (operators/hits.py,
+kcore.py, linkpred.py) — analytic fixtures with hand- or
+numpy-verifiable ground truth; the cross-engine float story is covered
+by the driver gate's DuckDB oracles (plans/oracles.py hits_sql /
+kcore_sql / adamic_adar_sql)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from webgraph_ans_rs_spark.operators.hits import hits
+from webgraph_ans_rs_spark.operators.kcore import kcore
+from webgraph_ans_rs_spark.operators.linkpred import adamic_adar
+
+
+def _hits_numpy(edge_list, n, iters):
+    hub = [1.0] * n
+    auth = [0.0] * n
+    for _ in range(iters):
+        auth = [0.0] * n
+        for s, d in edge_list:
+            auth[d] += hub[s]
+        t = sum(auth)
+        auth = [a / t for a in auth]
+        hub = [0.0] * n
+        for s, d in edge_list:
+            hub[s] += auth[d]
+        t = sum(hub)
+        hub = [h / t for h in hub]
+    return auth, hub
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    el = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 1), (4, 3)]
+    edges = spark.createDataFrame(el, "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(5)], "vertex long")
+    got = {r.vertex: (r.auth, r.hub) for r in hits(edges, verts, 3).collect()}
+    auth, hub = _hits_numpy(el, 5, 3)
+    for v in range(5):
+        assert got[v][0] == pytest.approx(auth[v], abs=1e-12)
+        assert got[v][1] == pytest.approx(hub[v], abs=1e-12)
+
+
+def test_hits_sink_and_source_get_zero(spark):
+    # 0→1: vertex 0 has no in-edges (auth 0), vertex 1 no out (hub 0)
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    verts = spark.createDataFrame([(0,), (1,)], "vertex long")
+    got = {r.vertex: (r.auth, r.hub) for r in hits(edges, verts, 2).collect()}
+    assert got[0] == (0.0, 1.0)
+    assert got[1] == (1.0, 0.0)
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    # 4-clique {0,1,2,3} + pendant path 3-4-5: k=3 peels 5 then 4,
+    # keeping exactly the clique (cascade needs 2 rounds → exercises the
+    # delta anti-join, not just the first filter)
+    el = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(el, "src long, dst long")
+    got = {r.vertex: r.core_deg for r in kcore(edges, k=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_empty_when_no_core(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    assert kcore(edges, k=3).count() == 0
+
+
+def test_kcore_unconverged_bound_raises(spark):
+    # a long path peels one end-pair layer per round at k=2; bounding
+    # max_rounds below the cascade depth must raise, not return a lie
+    el = [(i, i + 1) for i in range(12)]
+    edges = spark.createDataFrame(el, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(edges, k=2, max_rounds=2)
+
+
+def test_adamic_adar_square_analytic(spark):
+    # square 0-1-2-3-0: non-adjacent diagonals (0,2) and (1,3) each share
+    # 2 common neighbors of und-degree 2 → aa = 2/ln(2)
+    el = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    edges = spark.createDataFrame(el, "src long, dst long")
+    rows = adamic_adar(edges).collect()
+    got = {(r.u, r.v): r.aa for r in rows}
+    expect = round(2.0 / math.log(2.0), 6)
+    assert got == {(0, 2): expect, (1, 3): expect}
+
+
+def test_adamic_adar_excludes_existing_edges_and_caps_hubs(spark):
+    # star hub 0 with 5 leaves, leaves 1-2 also connected directly.
+    # center_cap=3 < deg(0)=5 → hub contributes nothing; the only
+    # remaining wedge centers are the leaves (degree too low to span
+    # wedges except via 1 and 2) — and (1,2) is an existing edge so it
+    # must not appear even though wedges through 0 would score it
+    el = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    edges = spark.createDataFrame(el, "src long, dst long")
+    rows = adamic_adar(edges, center_cap=3).collect()
+    pairs = {(r.u, r.v) for r in rows}
+    assert (1, 2) not in pairs
+    # wedges through centers 1 and 2 (deg 2 each): 0-1-2 and 0-2-1 give
+    # pair (0,2)... which is adjacent; so nothing survives
+    assert pairs == set()
+
+
+def test_adamic_adar_top_n_deterministic(spark):
+    # two candidate pairs with distinct scores; top_n=1 keeps the higher
+    el = [(0, 1), (1, 2), (0, 3), (3, 2), (2, 4), (4, 5), (5, 2)]
+    edges = spark.createDataFrame(el, "src long, dst long")
+    all_rows = adamic_adar(edges, top_n=100).collect()
+    assert len(all_rows) >= 2
+    best = max(all_rows, key=lambda r: (r.aa, -r.u, -r.v))
+    one = adamic_adar(edges, top_n=1).collect()
+    assert len(one) == 1 and (one[0].u, one[0].v) == (best.u, best.v)

@@ -310,6 +310,32 @@ def main() -> int:
         and "partial_min" in stats_plan,
     )
 
+    # 19. Adamic–Adar: the wedge stage stays JVM-side (no Python eval
+    # nodes) and the pair aggregation has a map-side partial sum — the
+    # deg² wedge fan-out must pre-combine before it shuffles
+    from webgraph_ans_rs_spark.operators.linkpred import adamic_adar
+
+    aa_plan = plan_of(adamic_adar(edges, top_n=50))
+    check(
+        "adamic-adar: JVM-only wedge join, partial_sum pair agg",
+        "BatchEvalPython" not in aa_plan
+        and "ArrowEvalPython" not in aa_plan
+        and "partial_sum" in aa_plan,
+    )
+
+    # 20. HITS half-step: the authority gather is a map-side partial sum
+    # and the 1-row normalization total enters via broadcast, never a
+    # real cartesian of big frames
+    from webgraph_ans_rs_spark.operators.hits import hits
+
+    hits_plan = plan_of(hits(edges, vertices(docs), num_iter=1))
+    check(
+        "hits: partial_sum gathers, 1-row totals broadcast, no Window",
+        "partial_sum" in hits_plan
+        and "BroadcastNestedLoopJoin" in hits_plan
+        and "Window" not in hits_plan,
+    )
+
     failed = [c for c in checks if not c[1]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan properties hold")
     return 1 if failed else 0

@@ -633,3 +633,122 @@ def scc_sql(max_t: int = 20) -> str:
         f"FROM r{max_t} a JOIN r{max_t} b ON a.v = b.u AND a.u = b.v\n"
         f"GROUP BY a.v"
     )
+
+
+def hits_sql(num_iter: int = 3, round_dp: int = 6) -> str:
+    """HITS unrolled: the identical sum-normalized half-steps the engine
+    executes (operators/hits.py) — auth gather by dst, normalize by the
+    raw total, hub gather by src, normalize. MATERIALIZED per half-step
+    keeps DuckDB's planner linear in the unroll depth (the
+    pagerank_converged_sql discipline)."""
+    ctes = [
+        _graph_ctes(),
+        "h0 AS MATERIALIZED (SELECT vertex, CAST(1.0 AS DOUBLE) AS hub FROM verts)",
+    ]
+    for i in range(1, num_iter + 1):
+        ctes.append(
+            f"ar{i} AS MATERIALIZED (SELECT e.dst AS vertex, SUM(h.hub) AS raw"
+            f" FROM edges e JOIN h{i-1} h ON e.src = h.vertex GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT v.vertex,"
+            f" COALESCE(r.raw, CAST(0.0 AS DOUBLE))"
+            f" / (SELECT SUM(raw) FROM ar{i}) AS auth"
+            f" FROM verts v LEFT JOIN ar{i} r USING (vertex))"
+        )
+        ctes.append(
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS vertex, SUM(a.auth) AS raw"
+            f" FROM edges e JOIN a{i} a ON e.dst = a.vertex GROUP BY e.src)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT v.vertex,"
+            f" COALESCE(r.raw, CAST(0.0 AS DOUBLE))"
+            f" / (SELECT SUM(raw) FROM hr{i}) AS hub"
+            f" FROM verts v LEFT JOIN hr{i} r USING (vertex))"
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT a.vertex, ROUND(a.auth, {round_dp}) AS auth,"
+        f" ROUND(h.hub, {round_dp}) AS hub"
+        f" FROM a{num_iter} a JOIN h{num_iter} h USING (vertex)"
+    )
+
+
+def kcore_sql(k: int = 3, max_rounds: int = 32) -> str:
+    """k-core peel unrolled to ``max_rounds`` (operators/kcore.py runs the
+    same bound and RAISES if unconverged, so a green gate certifies the
+    unroll covered the fixpoint). Each round keeps the edges whose BOTH
+    endpoints had degree ≥ k in the previous round's survivor edge set —
+    integer-only, no float freedom."""
+    ctes = [_graph_ctes(), "s0 AS MATERIALIZED (SELECT src, dst FROM und)"]
+    for i in range(1, max_rounds + 1):
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT src AS v FROM s{i-1}"
+            f" GROUP BY src HAVING COUNT(*) >= {k})"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT e.src, e.dst FROM s{i-1} e"
+            f" JOIN k{i} a ON e.src = a.v JOIN k{i} b ON e.dst = b.v)"
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT src AS vertex, COUNT(*) AS core_deg"
+        f" FROM s{max_rounds} GROUP BY src"
+    )
+
+
+def adamic_adar_sql(
+    center_cap: int = 64, top_n: int = 200, round_dp: int = 6
+) -> str:
+    """Adamic–Adar with the identical center-degree cap and rounded-score
+    top-N cut as operators/linkpred.py: rank on the ROUNDED score (desc,
+    u, v) so the LIMIT boundary is deterministic across engines."""
+    return (
+        f"WITH {_graph_ctes()},\n"
+        f"dg AS (SELECT src AS w, COUNT(*) AS d FROM und GROUP BY src),\n"
+        f"legs AS MATERIALIZED (SELECT u.src AS w, u.dst AS n,"
+        f" CAST(1.0 AS DOUBLE) / LN(CAST(dg.d AS DOUBLE)) AS wt"
+        f" FROM und u JOIN dg ON u.src = dg.w"
+        f" WHERE dg.d >= 2 AND dg.d <= {center_cap}),\n"
+        f"pairs AS (SELECT l1.n AS u, l2.n AS v,"
+        f" ROUND(SUM(l1.wt), {round_dp}) AS aa"
+        f" FROM legs l1 JOIN legs l2 ON l1.w = l2.w AND l1.n < l2.n"
+        f" GROUP BY l1.n, l2.n),\n"
+        f"cand AS (SELECT p.u, p.v, p.aa FROM pairs p"
+        f" LEFT JOIN und e ON p.u = e.src AND p.v = e.dst"
+        f" WHERE e.src IS NULL)\n"
+        f"SELECT u, v, aa FROM cand ORDER BY aa DESC, u, v LIMIT {top_n}"
+    )
+
+
+def hyperball_layouts_sql(tags: tuple[str, ...], max_t: int = 4, p: int = 6) -> str:
+    """The hyperball estimate cross-tagged per storage layout — every
+    layout must reproduce bit-identical estimates (the consolidated-gate
+    pattern of successors_layouts_sql; one registry slot gates them all)."""
+    vals = ", ".join(f"('{t}')" for t in tags)
+    return (
+        f"SELECT tg.layout, b.t, b.nf_est FROM ({hyperball_sql(max_t, p)}) b"
+        f" CROSS JOIN (VALUES {vals}) tg(layout)"
+    )
+
+
+def harmonic_layouts_sql(
+    p_tags: dict[str, int], max_t: int = 4
+) -> str:
+    """Harmonic centrality per (layout tag → register precision p) — equal-p
+    layouts must agree bit-identically, so same-p tags share one subquery
+    via cross join; distinct-p tags union their own replay."""
+    by_p: dict[int, list[str]] = {}
+    for tag, p in p_tags.items():
+        by_p.setdefault(p, []).append(tag)
+    parts = []
+    for p, tags in sorted(by_p.items()):
+        vals = ", ".join(f"('{t}')" for t in sorted(tags))
+        parts.append(
+            f"SELECT tg.layout, b.vertex, b.hc"
+            f" FROM ({harmonic_centrality_sql(max_t, p)}) b"
+            f" CROSS JOIN (VALUES {vals}) tg(layout)"
+        )
+    return " UNION ALL ".join(parts)
