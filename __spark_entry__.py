@@ -382,6 +382,32 @@ def _q_lsh_topk(spark, sf_dir):
     return sim.lsh_topk(emb, SIM_QUERY_IDS)
 
 
+ANN_METHOD_TAGS = ("exact", "lsh", "ivf")
+
+
+def _q_ann_topk_methods(spark, sf_dir):
+    """All three ANN strategies over the embedding column in one
+    method-tagged union — exact brute force (the correctness baseline),
+    banded-hyperplane LSH, and IVF-flat with a deterministic sampled
+    codebook (the inverted-list scale path). Each method's approximation
+    is a deterministic function of the data, so each branch value-hashes
+    against its own oracle (the successors_layouts consolidation
+    pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    branches = {
+        "exact": lambda: sim.cosine_topk(emb, SIM_QUERY_IDS),
+        "lsh": lambda: sim.lsh_topk(emb, SIM_QUERY_IDS),
+        "ivf": lambda: sim.ivf_topk(emb, SIM_QUERY_IDS),
+    }
+    out = None
+    for tag in ANN_METHOD_TAGS:
+        df = branches[tag]().select(
+            F.lit(tag).alias("method"), "qa", "vb", "cos", "rn"
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def _q_dense_ids(spark, sf_dir):
     """Dense 0..N-1 relabeling of the vertex universe (reference node ids
     are dense, /root/reference/src/ans/mod.rs:44)."""
@@ -742,7 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
-        "cosine_topk": _q_cosine_topk,
+        "ann_topk_methods": _q_ann_topk_methods,
         "cosine_neardup": _q_cosine_neardup,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
@@ -755,7 +781,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolve": _q_dedup_resolve,
         "khop_sample": _q_khop_sample,
         "khop_capped": _q_khop_capped,
-        "lsh_topk": _q_lsh_topk,
         "dense_ids": _q_dense_ids,
         "outdegree": _q_outdegree,
         "indegree": _q_indegree,
@@ -797,7 +822,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": op.ngram_jaccard_sql(),
         "minhash_lsh": op.minhash_lsh_sql(),
         "simhash": op.simhash_sql(),
-        "cosine_topk": op.cosine_topk_sql(SIM_QUERY_IDS),
+        "ann_topk_methods": op.ann_topk_methods_sql(SIM_QUERY_IDS, EMB_DIM),
         "cosine_neardup": op.cosine_neardup_lsh_sql(
             sim.NEARDUP_THRESHOLD,
             sim.NEARDUP_BANDS,
@@ -818,7 +843,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_resolve": op.dedup_resolve_sql(),
         "khop_sample": op.khop_sql(dg.hash_edges_sql()),
         "khop_capped": op.khop_capped_sql(dg.hash_edges_sql(), max_per_hop=4),
-        "lsh_topk": op.lsh_topk_sql(SIM_QUERY_IDS, dim=EMB_DIM),
         "dense_ids": (
             "SELECT vertex, CAST(ROW_NUMBER() OVER (ORDER BY vertex) - 1 AS BIGINT)"
             " AS dense_id FROM (SELECT CAST(doc_id AS BIGINT) AS vertex FROM documents)"

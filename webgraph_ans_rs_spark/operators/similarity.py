@@ -246,3 +246,85 @@ def lsh_topk(
         .where(F.col("rn") <= k)
         .select("qa", "vb", "cos", F.col("rn").cast("long").alias("rn"))
     )
+
+
+IVF_CENT_MOD = 31  # codebook = vectors with vec_id % 31 == 0 (~n/31 lists)
+IVF_NPROBE = 2
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    cent_mod: int = IVF_CENT_MOD,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: the inverted-file scale path.
+
+    Coarse quantizer: a deterministic sampled codebook (every vector with
+    ``vec_id % cent_mod == 0``) instead of a trained k-means one — the
+    training-free IVF variant; the codebook is a pure function of the
+    data so the DuckDB oracle regenerates it (the same reproducibility
+    trick as lsh_topk's seeded hyperplanes). Every vector joins the
+    inverted list of its nearest centroid (argmax cosine, 6dp-rounded
+    with centroid-id tie-break so the assignment is engine-portable);
+    queries probe their ``nprobe`` nearest lists and re-rank candidates
+    by exact cosine.
+
+    Scale shape: the codebook broadcasts (C ≪ n); assignment is a
+    broadcast join whose n×C rows collapse to n via a MAP-SIDE partial
+    max (each vector's C candidate rows live in one task), so the only
+    exchange carries n narrow rows. Candidate generation touches
+    nprobe/C of the corpus per query instead of all of it — the IVF
+    contract — and never an all-pairs join.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("vb"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = emb.where(F.col("vb") % cent_mod == 0).select(
+        F.col("vb").alias("cid"), F.col("v").alias("cv")
+    )
+    scored_asg = emb.crossJoin(F.broadcast(cents)).select(
+        "vb",
+        "v",
+        "cid",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("ac"),
+    )
+    # argmax (ac desc, cid asc) via max(struct(ac, -cid)): one map-side
+    # partial_max per vector, no Window over the n×C frame
+    assigned = (
+        scored_asg.groupBy("vb")
+        .agg(
+            F.max(F.struct(F.col("ac"), (-F.col("cid")).alias("ncid"))).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select("vb", "v", (-F.col("m.ncid")).alias("cid"))
+    )
+    q = assigned.where(F.col("vb").isin(query_ids)).select(
+        F.col("vb").alias("qa"), F.col("v").alias("qv")
+    )
+    qprobe = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "qa", "qv", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("ac")
+        )
+    )
+    wq = Window.partitionBy("qa").orderBy(F.desc("ac"), F.asc("cid"))
+    probes = (
+        qprobe.withColumn("prn", F.row_number().over(wq))
+        .where(F.col("prn") <= nprobe)
+        .select("qa", "qv", "cid")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .where(F.col("qa") != F.col("vb"))
+        .select("qa", "vb", F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("qa").orderBy(F.desc("cos"), F.asc("vb"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qa", "vb", "cos", F.col("rn").cast("long").alias("rn"))
+    )

@@ -525,3 +525,54 @@ def cosine_neardup_lsh_sql(
         " FROM cand JOIN e ea ON ea.id = a JOIN e eb ON eb.id = b)"
         f" WHERE cos >= {threshold}"
     )
+
+
+def ivf_topk_sql(
+    query_ids: list[int],
+    k: int = 5,
+    cent_mod: int = 31,
+    nprobe: int = 2,
+) -> str:
+    """Mirrors operators/similarity.py ivf_topk exactly: same deterministic
+    sampled codebook (vec_id % cent_mod == 0), same 6dp-rounded
+    centroid-id-tie-broken nearest-centroid assignment, same nprobe probe
+    lists and exact re-rank — the IVF approximation is a deterministic
+    function of the data, so it IS oracle-checkable."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return (
+        f"WITH {_emb_cte()},\n"
+        f"cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {cent_mod} = 0),\n"
+        "asg AS MATERIALIZED (SELECT vb, v, cid FROM ("
+        "SELECT e.vec_id AS vb, e.v AS v, c.cid,"
+        f" ROW_NUMBER() OVER (PARTITION BY e.vec_id"
+        f" ORDER BY ROUND({_cos('e.v', 'c.cv')}, 6) DESC, c.cid ASC) AS arn"
+        " FROM e, cents c) WHERE arn = 1),\n"
+        f"q AS (SELECT vb AS qa, v AS qv FROM asg WHERE vb IN ({ids})),\n"
+        "probes AS (SELECT qa, qv, cid FROM ("
+        "SELECT q.qa, q.qv, c.cid,"
+        f" ROW_NUMBER() OVER (PARTITION BY q.qa"
+        f" ORDER BY ROUND({_cos('q.qv', 'c.cv')}, 6) DESC, c.cid ASC) AS prn"
+        f" FROM q, cents c) WHERE prn <= {nprobe}),\n"
+        "scored AS (SELECT p.qa, a.vb,"
+        f" ROUND({_cos('p.qv', 'a.v')}, 6) AS cos"
+        " FROM asg a JOIN probes p ON a.cid = p.cid WHERE p.qa <> a.vb)\n"
+        "SELECT qa, vb, cos, rn FROM ("
+        "SELECT qa, vb, cos, ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos DESC, vb ASC) AS rn"
+        f" FROM scored) WHERE rn <= {k}"
+    )
+
+
+def ann_topk_methods_sql(
+    query_ids: list[int], dim: int, k: int = 5
+) -> str:
+    """Exact brute force, LSH, and IVF top-k in one method-tagged union —
+    the consolidated-gate pattern (one registry slot, every method still
+    value-hash-gated against its own oracle)."""
+    return (
+        f"SELECT 'exact' AS method, qa, vb, cos, rn"
+        f" FROM ({cosine_topk_sql(query_ids, k)})"
+        f" UNION ALL SELECT 'lsh' AS method, qa, vb, cos, rn"
+        f" FROM ({lsh_topk_sql(query_ids, k, dim=dim)})"
+        f" UNION ALL SELECT 'ivf' AS method, qa, vb, cos, rn"
+        f" FROM ({ivf_topk_sql(query_ids, k)})"
+    )
