@@ -336,6 +336,25 @@ def main() -> int:
         and "Window" not in hits_plan,
     )
 
+    # 21. IVF assignment: the n×C scored candidates must collapse via a
+    # MAP-SIDE partial_max before the exchange (never a Window over the
+    # n×C frame), with the codebook entering by broadcast
+    from webgraph_ans_rs_spark.operators.similarity import _as_double, ivf_assign
+
+    emb_probe = load_table(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("vb"), _as_double(F.col("embedding")).alias("v")
+    )
+    cents_probe = emb_probe.where(F.col("vb") % 31 == 0).select(
+        F.col("vb").alias("cid"), F.col("v").alias("cv")
+    )
+    ivf_plan = plan_of(ivf_assign(emb_probe, cents_probe))
+    check(
+        "ivf-assign: map-side partial_max argmax, broadcast codebook, no Window",
+        "partial_max" in ivf_plan
+        and "Broadcast" in ivf_plan
+        and "Window" not in ivf_plan,
+    )
+
     failed = [c for c in checks if not c[1]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan properties hold")
     return 1 if failed else 0

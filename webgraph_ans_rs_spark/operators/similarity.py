@@ -252,6 +252,29 @@ IVF_CENT_MOD = 31  # codebook = vectors with vec_id % 31 == 0 (~n/31 lists)
 IVF_NPROBE = 2
 
 
+def ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vb, v, cid) — each vector's nearest-centroid inverted-list key.
+
+    Broadcast the codebook, score all C candidates per vector, then
+    argmax (6dp-rounded cosine desc, cid asc) via max(struct(ac, -cid))
+    — a map-side partial_max, so the n×C scored rows collapse locally
+    and the single exchange carries n narrow rows (plan-audited)."""
+    scored_asg = emb.crossJoin(F.broadcast(cents)).select(
+        "vb",
+        "v",
+        "cid",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("ac"),
+    )
+    return (
+        scored_asg.groupBy("vb")
+        .agg(
+            F.max(F.struct(F.col("ac"), (-F.col("cid")).alias("ncid"))).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select("vb", "v", (-F.col("m.ncid")).alias("cid"))
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -286,22 +309,7 @@ def ivf_topk(
     cents = emb.where(F.col("vb") % cent_mod == 0).select(
         F.col("vb").alias("cid"), F.col("v").alias("cv")
     )
-    scored_asg = emb.crossJoin(F.broadcast(cents)).select(
-        "vb",
-        "v",
-        "cid",
-        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("ac"),
-    )
-    # argmax (ac desc, cid asc) via max(struct(ac, -cid)): one map-side
-    # partial_max per vector, no Window over the n×C frame
-    assigned = (
-        scored_asg.groupBy("vb")
-        .agg(
-            F.max(F.struct(F.col("ac"), (-F.col("cid")).alias("ncid"))).alias("m"),
-            F.first("v").alias("v"),
-        )
-        .select("vb", "v", (-F.col("m.ncid")).alias("cid"))
-    )
+    assigned = ivf_assign(emb, cents)
     q = assigned.where(F.col("vb").isin(query_ids)).select(
         F.col("vb").alias("qa"), F.col("v").alias("qv")
     )
