@@ -681,6 +681,16 @@ def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar(edges, center_cap=AA_CENTER_CAP, top_n=AA_TOP_N)
 
 
+def _q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient 3·T/W — wedges counted as C(deg,2)
+    in exact int64 (no wedge enumeration), triangles via the oriented
+    join."""
+    from webgraph_ans_rs_spark.operators.triangles import transitivity
+
+    edges, _ = _graph(spark, sf_dir)
+    return transitivity(edges)
+
+
 BFS_SEED_MOD = 101
 
 
@@ -795,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_2iter": _q_label_propagation,
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
+        "transitivity": _q_transitivity,
         "predecessors": _q_predecessors,
         "simplify": _q_simplify,
         "host_graph": _q_host_graph,
@@ -862,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation_2iter": oracles.label_propagation_sql(LP_ITERS),
         "triangle_count": oracles.triangle_count_sql(),
         "triangles_per_vertex": oracles.triangles_per_vertex_sql(),
+        "transitivity": oracles.transitivity_sql(),
         "predecessors": oracles.predecessors_sql(),
         "simplify": oracles.simplify_sql(),
         "host_graph": oracles.host_graph_sql(),

@@ -112,3 +112,23 @@ def test_adamic_adar_top_n_deterministic(spark):
     best = max(all_rows, key=lambda r: (r.aa, -r.u, -r.v))
     one = adamic_adar(edges, top_n=1).collect()
     assert len(one) == 1 and (one[0].u, one[0].v) == (best.u, best.v)
+
+
+def test_transitivity_triangle_plus_pendant(spark):
+    """3-cycle {0,1,2} + pendant 2-3: T=1; degrees (2,2,3,1) →
+    W = 1+1+3+0 = 5 → global_cc = 3/5."""
+    from webgraph_ans_rs_spark.operators.triangles import transitivity
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"
+    )
+    row = transitivity(edges).collect()[0]
+    assert (row.n_triangles, row.n_wedges, row.global_cc) == (1, 5, 0.6)
+
+
+def test_transitivity_wedge_only_graph_is_zero(spark):
+    from webgraph_ans_rs_spark.operators.triangles import transitivity
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    row = transitivity(edges).collect()[0]
+    assert (row.n_triangles, row.n_wedges, row.global_cc) == (0, 1, 0.0)

@@ -752,3 +752,23 @@ def harmonic_layouts_sql(
             f" CROSS JOIN (VALUES {vals}) tg(layout)"
         )
     return " UNION ALL ".join(parts)
+
+
+def transitivity_sql(round_dp: int = 6) -> str:
+    """Global clustering coefficient 3·T/W from the same id-oriented
+    triangle join and C(deg,2) wedge count the engine computes; d·(d−1)/2
+    is integer-exact, and 3·T/W is one double division — the only float
+    op — so 6dp rounding is pure formality."""
+    return (
+        f"WITH {_graph_ctes()},\n"
+        "o AS (SELECT src AS a, dst AS b FROM und WHERE src < dst),\n"
+        "tri AS (SELECT COUNT(*) AS n_triangles FROM o e1"
+        " JOIN o e2 ON e1.b = e2.a JOIN o e3 ON e1.a = e3.a AND e2.b = e3.b),\n"
+        "dg AS (SELECT src, COUNT(*) AS d FROM und GROUP BY src),\n"
+        "w AS (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)"
+        " AS n_wedges FROM dg)\n"
+        "SELECT tri.n_triangles, w.n_wedges,"
+        f" ROUND(CASE WHEN w.n_wedges > 0 THEN 3.0 * tri.n_triangles /"
+        f" w.n_wedges ELSE 0.0 END, {round_dp}) AS global_cc"
+        " FROM tri, w"
+    )
