@@ -482,6 +482,23 @@ def main() -> None:
     hb.count()
     hb_sec = round(time.time() - t0, 3)  # reported standalone: the suite
     # total's query set is fixed across rounds for comparability
+
+    # round-5 kernels at full bench scale (standalone rows, same fixed-
+    # suite reasoning): HITS 3 iters, k-core peel, transitivity — each on
+    # the same multi-million-edge synthetic web graph
+    from webgraph_ans_rs_spark.operators.hits import hits as _hits
+    from webgraph_ans_rs_spark.operators.kcore import kcore as _kcore
+    from webgraph_ans_rs_spark.operators.triangles import transitivity as _trans
+
+    t0 = time.time()
+    _hits(edges, verts, num_iter=3).count()
+    hits_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    _kcore(edges, k=4).count()
+    kcore_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    _trans(edges).count()
+    trans_sec = round(time.time() - t0, 3)
     edges.unpersist()
 
     total = round(sum(queries.values()), 3)
@@ -497,6 +514,9 @@ def main() -> None:
         "sequential_ns_per_arc": round(1e9 * seq_sec / max(1, n_arcs_seq), 1),
         "sequential_cold_ns_per_arc": round(1e9 * seq_cold / max(1, n_arcs_seq), 1),
         "hyperball_3iter_sec": hb_sec,
+        "hits_3iter_sec": hits_sec,
+        "kcore_sec": kcore_sec,
+        "transitivity_sec": trans_sec,
         "cnr2000_bits_per_link": storage.get("cnr2000", {})
         .get("layouts", {})
         .get("csr_dense_refs-zstd", {})

@@ -132,3 +132,10 @@ def test_transitivity_wedge_only_graph_is_zero(spark):
     edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     row = transitivity(edges).collect()[0]
     assert (row.n_triangles, row.n_wedges, row.global_cc) == (0, 1, 0.0)
+
+
+def test_hits_edgeless_graph_all_zero(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    verts = spark.createDataFrame([(0,), (1,)], "vertex long")
+    got = {r.vertex: (r.auth, r.hub) for r in hits(edges, verts, 2).collect()}
+    assert got == {0: (0.0, 0.0), 1: (0.0, 0.0)}

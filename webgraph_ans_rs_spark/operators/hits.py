@@ -45,7 +45,8 @@ def hits(
             .groupBy(F.col("dst").alias("vertex"))
             .agg(F.sum("hub").alias("raw"))
         )
-        a_tot = a_raw.agg(F.sum("raw").alias("t"))
+        # coalesce: an edgeless graph sums to NULL — scores become 0, not null
+        a_tot = a_raw.agg(F.coalesce(F.sum("raw"), F.lit(1.0)).alias("t"))
         auth = (
             verts.join(a_raw, "vertex", "left")
             .crossJoin(a_tot)  # 1-row frame → broadcast, not a real cross
@@ -59,7 +60,7 @@ def hits(
             .groupBy(F.col("src").alias("vertex"))
             .agg(F.sum("auth").alias("raw"))
         )
-        h_tot = h_raw.agg(F.sum("raw").alias("t"))
+        h_tot = h_raw.agg(F.coalesce(F.sum("raw"), F.lit(1.0)).alias("t"))
         hub = (
             verts.join(h_raw, "vertex", "left")
             .crossJoin(h_tot)

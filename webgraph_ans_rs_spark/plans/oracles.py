@@ -653,7 +653,7 @@ def hits_sql(num_iter: int = 3, round_dp: int = 6) -> str:
         ctes.append(
             f"a{i} AS MATERIALIZED (SELECT v.vertex,"
             f" COALESCE(r.raw, CAST(0.0 AS DOUBLE))"
-            f" / (SELECT SUM(raw) FROM ar{i}) AS auth"
+            f" / (SELECT COALESCE(SUM(raw), CAST(1.0 AS DOUBLE)) FROM ar{i}) AS auth"
             f" FROM verts v LEFT JOIN ar{i} r USING (vertex))"
         )
         ctes.append(
@@ -663,7 +663,7 @@ def hits_sql(num_iter: int = 3, round_dp: int = 6) -> str:
         ctes.append(
             f"h{i} AS MATERIALIZED (SELECT v.vertex,"
             f" COALESCE(r.raw, CAST(0.0 AS DOUBLE))"
-            f" / (SELECT SUM(raw) FROM hr{i}) AS hub"
+            f" / (SELECT COALESCE(SUM(raw), CAST(1.0 AS DOUBLE)) FROM hr{i}) AS hub"
             f" FROM verts v LEFT JOIN hr{i} r USING (vertex))"
         )
     body = ",\n".join(ctes)
