@@ -425,6 +425,30 @@ def main() -> None:
             for r in hyperball_packed(cnr_edges, cnr_verts, max_t=4, p=8).collect()
         }
         cnr_hb_sec = round(time.time() - t0, 3)
+        # round-5 kernels on the REAL web graph: HITS, k-core, global
+        # clustering, Adamic–Adar — web structure (bow-tie, 1e4-degree
+        # hubs) is what the caps/orientations exist for
+        from webgraph_ans_rs_spark.operators.hits import hits as _hits_k
+        from webgraph_ans_rs_spark.operators.kcore import kcore as _kcore_k
+        from webgraph_ans_rs_spark.operators.linkpred import (
+            adamic_adar as _aa_k,
+        )
+        from webgraph_ans_rs_spark.operators.triangles import (
+            transitivity as _trans_k,
+        )
+
+        t0 = time.time()
+        _hits_k(cnr_edges, cnr_verts, num_iter=3).count()
+        cnr_hits_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        cnr_core_n = _kcore_k(cnr_edges, k=12, max_rounds=64).count()
+        cnr_kcore_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        cnr_trans = _trans_k(cnr_edges).first()
+        cnr_trans_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        cnr_aa_top = _aa_k(cnr_edges).first()
+        cnr_aa_sec = round(time.time() - t0, 3)
         storage["cnr2000"]["kernels"] = {
             "pagerank_5iter_sec": cnr_pr_sec,
             "pagerank_edges_per_sec": round(
@@ -432,6 +456,14 @@ def main() -> None:
             ),
             "hyperball_p8_t4_sec": cnr_hb_sec,
             "hyperball_nf4_est": cnr_nf[4],
+            "hits_3iter_sec": cnr_hits_sec,
+            "kcore12_sec": cnr_kcore_sec,
+            "kcore12_vertices": int(cnr_core_n),
+            "transitivity_sec": cnr_trans_sec,
+            "global_cc": cnr_trans.global_cc,
+            "n_triangles": int(cnr_trans.n_triangles),
+            "adamic_adar_sec": cnr_aa_sec,
+            "adamic_adar_top_score": None if cnr_aa_top is None else cnr_aa_top.aa,
         }
         cnr_adj.unpersist()
         cnr_edges.unpersist()

@@ -139,3 +139,25 @@ def test_hits_edgeless_graph_all_zero(spark):
     verts = spark.createDataFrame([(0,), (1,)], "vertex long")
     got = {r.vertex: (r.auth, r.hub) for r in hits(edges, verts, 2).collect()}
     assert got == {0: (0.0, 0.0), 1: (0.0, 0.0)}
+
+
+def test_self_loops_excluded_from_undirected_kernels(spark):
+    """Self-loops (present in real BVGraph streams like cnr-2000) must not
+    count toward k-core degrees, wedge counts, or AA center degrees."""
+    from webgraph_ans_rs_spark.operators.triangles import transitivity
+
+    # triangle 0-1-2 plus a self-loop on 0
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 0)], "src long, dst long"
+    )
+    row = transitivity(edges).collect()[0]
+    # degrees (2,2,2) → W=3, T=1, cc=1.0 — a counted loop would give deg
+    # 3 at vertex 0 → W=5, cc=0.6
+    assert (row.n_triangles, row.n_wedges, row.global_cc) == (1, 3, 1.0)
+    # k=2 core: all three vertices, each core_deg 2 (loop not counted)
+    got = {r.vertex: r.core_deg for r in kcore(edges, k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+    # AA: only candidate wedges are within the triangle — all adjacent →
+    # empty; a counted loop would change nothing here but the degree used
+    # for 0's weight; assert emptiness is stable
+    assert adamic_adar(edges).count() == 0

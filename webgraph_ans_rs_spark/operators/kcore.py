@@ -39,7 +39,11 @@ def kcore(
     a caller never receives a non-core silently — the unrolled DuckDB
     oracle replays the same bound.
     """
-    und = undirected_symmetrize(edges)
+    # self-loops are excluded (standard simple-graph k-core: a vertex's
+    # self-loop must not keep it in the core) — found on the real
+    # cnr-2000, whose BVGraph stream contains them; the derived gate
+    # graph has none, so the oracle's und CTE needs no mirror filter
+    und = undirected_symmetrize(edges).where(F.col("src") != F.col("dst"))
     e = und.repartition("src").localCheckpoint(eager=True)
     for _ in range(max_rounds):
         deg = e.groupBy("src").agg(F.count("*").alias("d"))

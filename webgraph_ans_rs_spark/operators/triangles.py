@@ -115,7 +115,10 @@ def transitivity(edges: DataFrame, round_dp: int = 6) -> DataFrame:
     enumeration); T reuses the degree-oriented triangle join, so the
     whole statistic costs one triangle count plus one degree scan.
     """
-    und = undirected_symmetrize(edges)
+    # self-loops excluded from the wedge degrees — the triangle join's
+    # src<dst orientation already drops them, and counting them in W
+    # would deflate the coefficient on real graphs (cnr-2000 has them)
+    und = undirected_symmetrize(edges).where(F.col("src") != F.col("dst"))
     deg = und.groupBy("src").agg(F.count("*").alias("d"))
     # d·(d−1) is even, so DIV 2 is exact; the whole count stays in int64
     # (a float sum would lose exactness past 2^53 wedges — reachable at
