@@ -323,18 +323,28 @@ def main() -> int:
         and "partial_sum" in aa_plan,
     )
 
-    # 20. HITS half-step: the authority gather is a map-side partial sum
-    # and the 1-row normalization total enters via broadcast, never a
-    # real cartesian of big frames
-    from webgraph_ans_rs_spark.operators.hits import hits
+    # 20. HITS half-step: inherits the flagship loop's single-exchange
+    # discipline — exactly ONE exchange (the gather), 0 sorts, the
+    # scatter join shuffle-hash over co-partitioned CSR + score
+    from webgraph_ans_rs_spark.operators.hits import hits_halfstep_probe
 
-    hits_plan = plan_of(hits(edges, vertices(docs), num_iter=1))
-    check(
-        "hits: partial_sum gathers, 1-row totals broadcast, no Window",
-        "partial_sum" in hits_plan
-        and "BroadcastNestedLoopJoin" in hits_plan
-        and "Window" not in hits_plan,
-    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        hits_caches: list = []
+        hs = hits_halfstep_probe(edges, vertices(docs), release_caches=hits_caches)
+        hs_jplan = hs._jdf.queryExecution().executedPlan()
+        hs_exchange = count_nodes(hs_jplan, "Exchange")
+        hs_sort = count_nodes(hs_jplan, "Sort")
+        hs_shj = count_nodes(hs_jplan, "ShuffledHashJoin")
+        check(
+            "hits-halfstep: exactly 1 exchange, 0 sorts, shuffle-hash join",
+            hs_exchange == 1 and hs_sort == 0 and hs_shj == 1,
+            f"(exchanges={hs_exchange} sorts={hs_sort} shj={hs_shj})",
+        )
+        for c in hits_caches:
+            c.unpersist(blocking=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 
     # 21. IVF assignment: the n×C scored candidates must collapse via a
     # MAP-SIDE partial_max before the exchange (never a Window over the
