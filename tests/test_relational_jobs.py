@@ -58,3 +58,32 @@ def test_build_adjacency_job(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     meta = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
     assert meta["num_arcs"] > 0 and meta["num_nodes"] > 0 and meta["buckets"] >= 1
+
+
+def test_analyze_graph_job(tmp_path, spark):
+    """Drive the link-analysis suite CLI end-to-end on a small edge table:
+    selected kernels run, write parquet, and report row counts."""
+    from webgraph_ans_rs_spark.plans.bench_graph import synthetic_edges
+
+    edges_dir = str(tmp_path / "edges")
+    synthetic_edges(spark, 2000).write.mode("overwrite").parquet(edges_dir)
+    out_dir = str(tmp_path / "analysis")
+    r = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/jobs/analyze_graph.py",
+            "--edges", edges_dir,
+            "--out", out_dir,
+            "--only", "kcore,transitivity,degrees",
+            "--k", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    ks = meta["kernels"]
+    assert set(ks) == {"kcore", "transitivity", "degrees"}
+    assert ks["transitivity"]["rows"] == 1
+    assert ks["degrees"]["rows"] > 0
