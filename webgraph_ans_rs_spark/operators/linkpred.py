@@ -46,11 +46,17 @@ def adamic_adar(
     # d >= 2: a degree-1 center spans no wedge, and ln(1) = 0 would put an
     # inf weight in the legs frame
     centers = deg.where((F.col("d") >= 2) & (F.col("d") <= center_cap))
-    # (w, u) legs for eligible centers, weighted 1/ln(deg(w))
+    # (w, u) legs for eligible centers, weighted 1/ln(deg(w)).
+    # Materialized ONCE (localCheckpoint: eager, lineage-truncating, no
+    # unpersist bookkeeping for a lazily-returned result) — the frame
+    # feeds BOTH sides of the wedge self-join, and without the barrier
+    # the symmetrize + degree join would be computed twice: noise at gate
+    # scale, a full extra scan+join of the edge table at 100×.
     legs = (
         und.select(F.col("src").alias("w"), F.col("dst").alias("n"))
         .join(centers, "w")
         .select("w", "n", (F.lit(1.0) / F.log(F.col("d"))).alias("wt"))
+        .localCheckpoint(eager=True)
     )
     pairs = (
         legs.alias("l1")

@@ -123,6 +123,17 @@ def _encode_rows(srcs, dsts_seq, window: int, max_ref: int, reset_every=None):
         if reset_every is not None and i % reset_every == 0:
             win = []
         cur = np.asarray(dsts, dtype=np.int64)
+        # enforce the sorted+distinct precondition LOUDLY: the copy search
+        # uses assume_unique set math and the bit packer writes gap-1 (a
+        # zero gap underflows to 2^64-2), so one duplicate edge row from a
+        # caller would silently decode to a DIFFERENT graph. Direct
+        # element comparison — np.diff could wrap on full-range int64s.
+        if len(cur) > 1 and bool((cur[1:] <= cur[:-1]).any()):
+            raise ValueError(
+                f"encode_refs: dsts of src={src} are not strictly "
+                "increasing (sorted, duplicate-free) — feed distinct "
+                "(src, dst) edges or array_distinct the lists first"
+            )
         d = len(cur)
         best_cost = d  # standalone cost: d residual gaps
         best = None  # (off, ref_src, ref_list, mask, blocks, depth, root)
@@ -247,12 +258,14 @@ def encode_refs(
     Deterministic: fixed range-bucketing over [min(src), max(src)], fixed
     candidate scan order, ties broken to standalone/smallest delta.
 
-    PRECONDITION: ``dsts`` arrays must be sorted AND duplicate-free (the
-    copy-search uses assume_unique set math). build_csr_adjacency
-    collects raw edge rows without dedup — feed it distinct (src, dst)
-    edges (every engine query path does; graphs are edge SETS), or
-    array_distinct the lists first: duplicate entries would silently
-    corrupt the round-trip."""
+    PRECONDITION (ENFORCED): ``dsts`` arrays must be sorted AND
+    duplicate-free (the copy-search uses assume_unique set math).
+    build_csr_adjacency collects raw edge rows without dedup — feed it
+    distinct (src, dst) edges (every engine query path does; graphs are
+    edge SETS), or array_distinct the lists first. _encode_rows raises
+    ValueError on the first non-strictly-increasing list, so a violation
+    fails the encode job loudly instead of decoding to a different
+    graph."""
     mn, mx = adj.agg(F.min("src"), F.max("src")).first()
     if mn is None:
         mn, mx = 0, 0

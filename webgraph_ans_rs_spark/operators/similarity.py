@@ -248,8 +248,25 @@ def lsh_topk(
     )
 
 
-IVF_CENT_MOD = 31  # codebook = vectors with vec_id % 31 == 0 (~n/31 lists)
+IVF_MIN_CENT_MOD = 31  # floor: below ~1k vectors a coarser codebook is noise
 IVF_NPROBE = 2
+
+
+def ivf_cent_mod(n: int) -> int:
+    """Stats-driven codebook stride: ``cent_mod ≈ √n`` so the codebook has
+    C = n/cent_mod ≈ √n centroids — standard IVF sizing. This bounds the
+    assignment pass at n·√n cosine evaluations and the broadcast at √n
+    vectors (a FIXED cent_mod makes C grow linearly: quadratic assignment
+    compute and an unbounded broadcast — the round-5 scale flaw). Pure
+    function of the corpus count, so the DuckDB oracle regenerates the
+    identical codebook from the same COUNT(*); floor(sqrt) is IEEE-double
+    correctly-rounded in both engines, so the derived stride can't differ.
+    The same stats→parameters discipline as sampling.choose_salts (the
+    reference's analogue: the model-builder stats pass,
+    /root/reference/src/ans/model4encoder_builder.rs:80-271)."""
+    import math
+
+    return max(IVF_MIN_CENT_MOD, int(math.floor(math.sqrt(float(max(0, n))))))
 
 
 def ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
@@ -279,7 +296,7 @@ def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    cent_mod: int = IVF_CENT_MOD,
+    cent_mod: int | None = None,
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -290,22 +307,28 @@ def ivf_topk(
     ``vec_id % cent_mod == 0``) instead of a trained k-means one — the
     training-free IVF variant; the codebook is a pure function of the
     data so the DuckDB oracle regenerates it (the same reproducibility
-    trick as lsh_topk's seeded hyperplanes). Every vector joins the
-    inverted list of its nearest centroid (argmax cosine, 6dp-rounded
-    with centroid-id tie-break so the assignment is engine-portable);
-    queries probe their ``nprobe`` nearest lists and re-rank candidates
-    by exact cosine.
+    trick as lsh_topk's seeded hyperplanes). ``cent_mod`` defaults to the
+    stats-derived ``ivf_cent_mod(count)`` ≈ √n so the codebook holds
+    C ≈ √n centroids at ANY corpus size. Every vector joins the inverted
+    list of its nearest centroid (argmax cosine, 6dp-rounded with
+    centroid-id tie-break so the assignment is engine-portable); queries
+    probe their ``nprobe`` nearest lists and re-rank candidates by exact
+    cosine.
 
-    Scale shape: the codebook broadcasts (C ≪ n); assignment is a
+    Scale shape: the codebook broadcasts (C ≈ √n ≪ n); assignment is a
     broadcast join whose n×C rows collapse to n via a MAP-SIDE partial
     max (each vector's C candidate rows live in one task), so the only
-    exchange carries n narrow rows. Candidate generation touches
-    nprobe/C of the corpus per query instead of all of it — the IVF
-    contract — and never an all-pairs join.
+    exchange carries n narrow rows and the assignment pass does n·√n
+    cosine evaluations total. Candidate generation touches nprobe/C of
+    the corpus per query instead of all of it — the IVF contract — and
+    never an all-pairs join.
     """
     emb = embeddings.select(
         F.col(id_col).alias("vb"), _as_double(F.col(vec_col)).alias("v")
     )
+    if cent_mod is None:
+        # one metadata-cheap count — the stats pass that sizes the codebook
+        cent_mod = ivf_cent_mod(emb.count())
     cents = emb.where(F.col("vb") % cent_mod == 0).select(
         F.col("vb").alias("cid"), F.col("v").alias("cv")
     )

@@ -254,6 +254,75 @@ def label_propagation_sql(num_iter: int = 2) -> str:
     return f"WITH {body}\nSELECT vertex, label FROM l{num_iter}"
 
 
+def label_propagation_converged_sql(max_iter: int = 8) -> str:
+    """Unrolled convergence-mode LP (self-vote variant, mirroring
+    operators/labelprop.py label_propagation_converged): per superstep the
+    histogram counts neighbor labels PLUS one self vote; chg_i counts
+    vertices whose label changed; conv = the first superstep with zero
+    changes; emits that superstep's labels with the iteration count — so
+    agreement gates the converged labels AND iterations-to-stability
+    (the pagerank_converged oracle pattern). Integer-only: no float
+    freedom anywhere, the comparison is exact."""
+    ctes = [
+        _clustered_ctes(),
+        "cl0 AS MATERIALIZED (SELECT vertex, vertex AS label FROM verts)",
+    ]
+    for i in range(1, max_iter + 1):
+        p = i - 1
+        ctes.append(
+            f"ch{i} AS (SELECT vertex, nbr_label, COUNT(*) AS cnt FROM ("
+            f"SELECT u.src AS vertex, l.label AS nbr_label"
+            f" FROM cund u JOIN cl{p} l ON l.vertex = u.dst"
+            f" UNION ALL SELECT vertex, label FROM cl{p}) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"cb{i} AS (SELECT vertex, nbr_label FROM ("
+            f"SELECT vertex, nbr_label,"
+            f" ROW_NUMBER() OVER (PARTITION BY vertex ORDER BY cnt DESC, nbr_label ASC) AS rn"
+            f" FROM ch{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"cl{i} AS MATERIALIZED (SELECT v.vertex,"
+            f" COALESCE(b.nbr_label, l.label) AS label"
+            f" FROM verts v JOIN cl{p} l USING (vertex)"
+            f" LEFT JOIN cb{i} b USING (vertex))"
+        )
+        ctes.append(
+            f"cchg{i} AS (SELECT COUNT(*) AS c FROM cl{i} a JOIN cl{p} b"
+            f" USING (vertex) WHERE a.label <> b.label)"
+        )
+    chgs = " UNION ALL ".join(
+        f"SELECT {i} AS it, (SELECT c FROM cchg{i}) AS c"
+        for i in range(1, max_iter + 1)
+    )
+    all_l = " UNION ALL ".join(
+        f"SELECT {i} AS it, vertex, label FROM cl{i}"
+        for i in range(1, max_iter + 1)
+    )
+    ctes.append(f"cchgs AS ({chgs})")
+    ctes.append("cconv AS (SELECT MIN(it) AS j FROM cchgs WHERE c = 0)")
+    ctes.append(f"call_l AS ({all_l})")
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vertex, label, CAST(j AS BIGINT) AS iters"
+        f" FROM call_l, cconv WHERE it = j"
+    )
+
+
+def label_propagation_modes_sql(num_iter: int = 2, max_iter: int = 8) -> str:
+    """Fixed-iteration and converged LP in one mode-tagged union (the
+    consolidated-gate pattern: one registry slot, each branch still
+    value-hashed against its own unrolled oracle)."""
+    return (
+        f"SELECT 'fixed2' AS mode, vertex, label,"
+        f" CAST({num_iter} AS BIGINT) AS iters"
+        f" FROM ({label_propagation_sql(num_iter)})"
+        f" UNION ALL SELECT 'converged' AS mode, vertex, label, iters"
+        f" FROM ({label_propagation_converged_sql(max_iter)})"
+    )
+
+
 def triangle_count_sql() -> str:
     return (
         f"WITH {_graph_ctes()},\n"

@@ -530,18 +530,29 @@ def cosine_neardup_lsh_sql(
 def ivf_topk_sql(
     query_ids: list[int],
     k: int = 5,
-    cent_mod: int = 31,
+    cent_mod: int | None = None,
     nprobe: int = 2,
 ) -> str:
     """Mirrors operators/similarity.py ivf_topk exactly: same deterministic
     sampled codebook (vec_id % cent_mod == 0), same 6dp-rounded
     centroid-id-tie-broken nearest-centroid assignment, same nprobe probe
     lists and exact re-rank — the IVF approximation is a deterministic
-    function of the data, so it IS oracle-checkable."""
+    function of the data, so it IS oracle-checkable. ``cent_mod=None``
+    derives the stride IN SQL as GREATEST(31, FLOOR(SQRT(COUNT(*)))) —
+    the identical IEEE-double computation as similarity.ivf_cent_mod, so
+    the two engines always regenerate the same codebook."""
     ids = ", ".join(str(i) for i in query_ids)
+    cm = (
+        str(cent_mod)
+        if cent_mod is not None
+        else (
+            "(SELECT GREATEST(31, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)))"
+            " AS BIGINT)) FROM e)"
+        )
+    )
     return (
         f"WITH {_emb_cte()},\n"
-        f"cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {cent_mod} = 0),\n"
+        f"cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {cm} = 0),\n"
         "asg AS MATERIALIZED (SELECT vb, v, cid FROM ("
         "SELECT e.vec_id AS vb, e.v AS v, c.cid,"
         f" ROW_NUMBER() OVER (PARTITION BY e.vec_id"
