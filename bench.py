@@ -398,6 +398,22 @@ def main() -> None:
         storage["cnr2000"]["copied_frac"] = round(
             (cnr_meta["arcs"] - n_res) / cnr_meta["arcs"], 3
         )
+        # per-component bits of the bitpacked payload (the reference's
+        # percomponent_analysis.py analogue) vs the published cnr-2000
+        # .properties split — shows WHERE the 2.758-vs-2.897 structure
+        # lives (tools/ans_experiment.py uses the same streams for the
+        # measured rANS adopt-or-reject)
+        from webgraph_ans_rs_spark.operators.bitpack import (
+            refs_component_bits,
+        )
+
+        comp = refs_component_bits(cnr_adj, num_buckets=8, window=7,
+                                   max_ref=3, chunk=1024)
+        storage["cnr2000"]["component_bits"] = comp
+        storage["cnr2000"]["published_component_bits"] = {
+            "outdegrees": 1660205, "references": 781540, "blocks": 1353080,
+            "intervals": 829187, "residuals": 4694729,
+        }
         # decode cost (full sequential decode of the ref layout back to
         # the CSR — the price a query pays if it reads the archive layout
         # directly instead of the decoded CSR)

@@ -7,6 +7,8 @@ Kernels (each an --only selectable step, all written as parquet under
   components     small/large-star connected components
   scc            strongly connected components (trim + coloring + sweep)
   labelprop      synchronous label propagation (--lp-iters)
+  labelprop_converged  run-to-stability LP (self-vote damping; raises
+                 if --lp-max-iter supersteps pass without stabilizing)
   hits           hubs & authorities (single-exchange CSR half-steps)
   degrees        out/in degree tables + degree distribution
   kcore          k-core peel at --k
@@ -48,6 +50,8 @@ def main() -> None:
     ap.add_argument("--only", help="comma list of kernels (default: all)")
     ap.add_argument("--k", type=int, default=3, help="k for kcore")
     ap.add_argument("--lp-iters", type=int, default=2)
+    ap.add_argument("--lp-max-iter", type=int, default=32,
+                    help="stability bound for labelprop_converged")
     ap.add_argument("--hits-iters", type=int, default=3)
     ap.add_argument("--hb-p", type=int, default=8)
     ap.add_argument("--hb-t", type=int, default=4)
@@ -84,7 +88,10 @@ def main() -> None:
     )
     from webgraph_ans_rs_spark.operators.hits import hits
     from webgraph_ans_rs_spark.operators.kcore import kcore
-    from webgraph_ans_rs_spark.operators.labelprop import label_propagation
+    from webgraph_ans_rs_spark.operators.labelprop import (
+        label_propagation,
+        label_propagation_converged,
+    )
     from webgraph_ans_rs_spark.operators.linkpred import adamic_adar
     from webgraph_ans_rs_spark.operators.neighborhood import (
         harmonic_centrality_packed,
@@ -99,6 +106,8 @@ def main() -> None:
     step("components", lambda: connected_components(edges, verts))
     step("scc", lambda: strongly_connected_components(edges, verts))
     step("labelprop", lambda: label_propagation(edges, verts, args.lp_iters))
+    step("labelprop_converged", lambda: label_propagation_converged(
+        edges, verts, max_iter=args.lp_max_iter)[0])
     step("hits", lambda: hits(edges, verts, num_iter=args.hits_iters))
     step("degrees", lambda: outdegrees(edges, verts).join(
         indegrees(edges, verts), "vertex"))

@@ -129,3 +129,28 @@ def test_bitpack_batch_random_access(spark):
     assert got == {u: want[u] for u in probe_ids if u in want}
     packed.unpersist()
     adj.unpersist()
+
+
+def test_component_bits_account_for_every_payload_bit(spark):
+    """The per-component breakdown mirrors _pack_pdf's write sequence —
+    summed component bits must equal the packed payload bits exactly, up
+    to the <8-bit byte padding per chunk (so the counter can never drift
+    from the writer)."""
+    from webgraph_ans_rs_spark.operators.bitpack import refs_component_bits
+
+    edges, _, _, _ = seeded_random_graph(spark, n=300, m=1500)
+    adj = build_csr_adjacency(edges).persist()
+    comp = refs_component_bits(adj, num_buckets=4, chunk=64)
+    packed = encode_refs_bitpacked(adj, num_buckets=4, chunk=64).persist()
+    payload_bits = sum(
+        8 * len(bytes(r.payload)) for r in packed.select("payload").collect()
+    )
+    n_chunks = packed.count()
+    counted = sum(
+        comp[c]
+        for c in ("src_deltas", "ref_offsets", "blocks", "res_counts", "residuals")
+    )
+    adj.unpersist()
+    packed.unpersist()
+    assert comp["n_lists"] == 300
+    assert 0 <= payload_bits - counted < 8 * n_chunks

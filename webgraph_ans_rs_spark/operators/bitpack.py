@@ -128,6 +128,120 @@ def _pack_pdf(pdf, window: int, max_ref: int, zeta_k: int, chunk: int):
     )
 
 
+def _gamma_bits(v: int) -> int:
+    """Code length of write_gamma(v): unary exponent + mantissa."""
+    n = (v + 1).bit_length()
+    return 2 * n - 1
+
+
+def _zeta_bits(v: int, k: int) -> int:
+    """Code length of write_zeta(v, k) (the dsiutils two-branch layout)."""
+    w = v + 1
+    h = (w.bit_length() - 1) // k
+    left = 1 << (h * k)
+    return (h + 1) + (h * k + k - 1 if w - left < left else h * k + k)
+
+
+COMPONENT_BITS_SCHEMA = (
+    "bucket int, src_deltas long, ref_offsets long, blocks long,"
+    " res_counts long, residuals long, n_lists long, n_residuals long"
+)
+
+# payload field order shared by _pack_pdf (writes) and _component_bits_pdf
+# (counts) — test_bitpack pins counted bits == packed payload bits so the
+# two can never drift
+_COMPONENTS = ("src_deltas", "ref_offsets", "blocks", "res_counts", "residuals")
+
+
+def _component_bits_pdf(pdf, window: int, max_ref: int, zeta_k: int, chunk: int):
+    """Per-bucket bits spent per payload field — the engine's analogue of
+    the reference's per-component archive breakdown
+    (/root/reference/percomponent_analysis.py:34-60 reads bitsforblocks/
+    bitsforintervals/bitsforresiduals/bitsforreferences/bitsforoutdegrees
+    off the .properties). Mirrors _pack_pdf's exact write sequence,
+    summing code lengths instead of emitting bits; our layout has no
+    outdegree field (res_counts + the referenced list reconstruct it) and
+    no interval class (measured and rejected — subsumed by copy blocks +
+    parquet v2), but adds src_deltas (BVGraph node ids are implicit)."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("src")
+    bkt = int(pdf["_bkt"].iloc[0]) if len(pdf) else 0
+    rows = _encode_rows(
+        pdf["src"].tolist(), pdf["dsts"].to_numpy(), window, max_ref,
+        reset_every=chunk,
+    )
+    bits = dict.fromkeys(_COMPONENTS, 0)
+    n_lists = n_res_total = 0
+    prev = 0
+    n_in_chunk = 0
+    for i, (src, off, _rs, blocks, gaps, _cur, _root) in enumerate(rows):
+        if i % chunk == 0:
+            prev = src
+            n_in_chunk = 0
+        bits["src_deltas"] += _gamma_bits(src - prev - (1 if n_in_chunk else 0))
+        prev = src
+        n_in_chunk += 1
+        n_lists += 1
+        bits["ref_offsets"] += _gamma_bits(off)
+        if off:
+            bits["blocks"] += _gamma_bits(len(blocks))
+            for j, b in enumerate(blocks):
+                bits["blocks"] += _gamma_bits(b if j == 0 else b - 1)
+        bits["res_counts"] += _gamma_bits(len(gaps))
+        for j, g in enumerate(gaps):
+            n_res_total += 1
+            if j == 0:
+                bits["residuals"] += _zeta_bits(int2nat(_to_i64(int(g))), zeta_k)
+            else:
+                bits["residuals"] += _zeta_bits((int(g) & _M64) - 1, zeta_k)
+    return pd.DataFrame(
+        {
+            "bucket": [bkt],
+            **{c: [bits[c]] for c in _COMPONENTS},
+            "n_lists": [n_lists],
+            "n_residuals": [n_res_total],
+        }
+    )
+
+
+def refs_component_bits(
+    adj: DataFrame,
+    num_buckets: int = 8,
+    window: int = 7,
+    max_ref: int = 3,
+    zeta_k: int = 3,
+    chunk: int = 1024,
+) -> dict:
+    """Aggregate per-component payload bits of the bitpacked layout over
+    the whole graph (same deterministic bucketing/params as
+    encode_refs_bitpacked). Returns {component: bits, ...} plus n_lists /
+    n_residuals — a driver-side dict (5 longs per bucket; the scan itself
+    is the distributed pass)."""
+    from pyspark.sql import functions as SF
+
+    mn, mx = adj.agg(F.min("src"), F.max("src")).first()
+    if mn is None:
+        mn, mx = 0, 0
+    span = max(1, (int(mx) - int(mn)) // num_buckets + 1)
+    off = F.col("src").cast("decimal(38,0)") - F.lit(int(mn)).cast(
+        "decimal(38,0)"
+    )
+    with_bkt = adj.select(
+        F.floor(off / F.lit(span).cast("decimal(38,0)")).cast("int").alias("_bkt"),
+        "src",
+        "dsts",
+    )
+    per_bucket = with_bkt.groupBy("_bkt").applyInPandas(
+        lambda pdf: _component_bits_pdf(pdf, window, max_ref, zeta_k, chunk),
+        COMPONENT_BITS_SCHEMA,
+    )
+    row = per_bucket.agg(
+        *[SF.sum(c).alias(c) for c in (*_COMPONENTS, "n_lists", "n_residuals")]
+    ).first()
+    return {k: int(row[k] or 0) for k in (*_COMPONENTS, "n_lists", "n_residuals")}
+
+
 def encode_refs_bitpacked(
     adj: DataFrame,
     num_buckets: int = 8,
