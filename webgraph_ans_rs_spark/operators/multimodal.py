@@ -2,12 +2,14 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct — the Spark-side contract (schema, partitioning, Arrow
-batch shape) is real and tested. PNG payloads decode FOR REAL via the
-pure-stdlib codec (operators/png.py — DEFLATE ships in zlib, no PIL
-needed); JPEG/video decoders are not in this container, so those
-kernels remain STUBS: a clearly-marked deterministic fake behind the
-same ``mapInPandas`` signature a real decoder would use. Swapping in a
-real JPEG/ffmpeg decoder changes one function body, not the plan.
+batch shape) is real and tested. PNG and GIF payloads decode FOR REAL
+via the pure-stdlib codecs (operators/png.py — DEFLATE ships in zlib;
+operators/gif.py — LZW is integer math), including ANIMATED GIFs, which
+make ``frame_sample`` a real frame sampler for a real container.
+JPEG/MP3/MP4 decoders are not in this container, so those kernels
+remain STUBS: a clearly-marked deterministic fake behind the same
+``mapInPandas`` signature a real decoder would use. Swapping in a real
+JPEG/ffmpeg decoder changes one function body, not the plan.
 
 Operators:
   * attach_payload_meta — cheap metadata (byte length, magic-sniffed kind,
@@ -99,14 +101,30 @@ def _real_decode_png(raw: bytes):
     return w, h, c, feats
 
 
+def _real_decode_gif(raw: bytes):
+    """REAL decode for payloads that parse as GIF (pure-stdlib LZW codec,
+    operators/gif.py): first frame's composited RGB canvas, same
+    mean/std feature recipe as the PNG path."""
+    from .gif import decode_gif
+
+    w, h, frames = decode_gif(raw, max_frames=1)
+    a = frames[0].astype("float64") / 255.0
+    feats = []
+    for ch in range(3):
+        feats.append(round(float(a[:, :, ch].mean()), 6))
+        feats.append(round(float(a[:, :, ch].std()), 6))
+    feats = (feats + [0.0] * N_FAKE_FEATURES)[:N_FAKE_FEATURES]
+    return w, h, 3, feats
+
+
 def decode_image_batches(
     df: DataFrame, key_col: str = "key", payload_col: str = "payload"
 ) -> DataFrame:
     """mapInPandas decode: Arrow-batched, one output row per input row.
 
-    Payloads that parse as REAL PNGs decode for real (stdlib zlib codec);
-    everything else — JPEG/video (codecs not in this container) and
-    synthetic fixtures that only carry a magic — falls back to the
+    Payloads that parse as REAL PNGs or GIFs decode for real (stdlib
+    codecs); everything else — JPEG/video (codecs not in this container)
+    and synthetic fixtures that only carry a magic — falls back to the
     deterministic stub, so the DuckDB gate fixture (fake-PNG bytes)
     reproduces exactly while genuine images get genuine dimensions."""
     src = df.select(F.col(key_col).alias("key"), F.col(payload_col).alias("payload"))
@@ -122,6 +140,11 @@ def decode_image_batches(
                 if kind == "png":
                     try:
                         w, h, c, f = _real_decode_png(raw)
+                    except Exception:
+                        w, h, c, f = _fake_decode(raw)
+                elif kind == "gif":
+                    try:
+                        w, h, c, f = _real_decode_gif(raw)
                     except Exception:
                         w, h, c, f = _fake_decode(raw)
                 else:
@@ -224,22 +247,48 @@ def frame_sample(
     key_col: str = "key",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """STUB frame sampler: derives a deterministic per-frame md5 from
-    (payload, frame_idx); fan-out inside the Arrow batch."""
+    """Frame sampler: every ``every_n``-th frame, at most ``max_frames``
+    per payload; fan-out inside the Arrow batch. Payloads that parse as
+    REAL (animated) GIFs sample ACTUAL composited frames — frame_md5 is
+    the md5 of the frame's RGB canvas bytes, so two visually-identical
+    frames dedup — via the pure-stdlib LZW codec (operators/gif.py);
+    anything else (MP4/webm — codecs not in this container — and
+    magic-only fixtures) keeps the deterministic stub, so the DuckDB
+    gate fixture reproduces exactly."""
     src = df.select(F.col(key_col).alias("key"), F.col(payload_col).alias("payload"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif import decode_gif
+
         for b in batches:
             keys, idxs, md5s = [], [], []
             for key, payload in zip(b["key"], b["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                n_frames = 1 + (hashlib.md5(raw).digest()[3] % (every_n * max_frames))
-                for i, frame in enumerate(range(0, n_frames, every_n)):
-                    if i >= max_frames:
-                        break
+                rows = None
+                if raw.startswith(b"GIF8"):
+                    try:
+                        # decode only as far as the last sampled index
+                        _, _, frames = decode_gif(
+                            raw, max_frames=(max_frames - 1) * every_n + 1
+                        )
+                        rows = [
+                            (fi, hashlib.md5(frames[fi].tobytes()).hexdigest())
+                            for fi in range(0, len(frames), every_n)
+                        ][:max_frames]
+                    except Exception:  # malformed/fixture bytes → stub
+                        rows = None
+                if rows is None:  # stub: md5-derived fake frame ids
+                    n_frames = 1 + (
+                        hashlib.md5(raw).digest()[3] % (every_n * max_frames)
+                    )
+                    rows = [
+                        (fi, hashlib.md5(raw + fi.to_bytes(4, "big")).hexdigest())
+                        for fi in range(0, n_frames, every_n)
+                    ][:max_frames]
+                for fi, m in rows:
                     keys.append(key)
-                    idxs.append(frame)
-                    md5s.append(hashlib.md5(raw + frame.to_bytes(4, "big")).hexdigest())
+                    idxs.append(fi)
+                    md5s.append(m)
             yield pd.DataFrame({"key": keys, "frame_idx": idxs, "frame_md5": md5s})
 
     return src.mapInPandas(kernel, FRAME_SCHEMA)
