@@ -2,14 +2,15 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct — the Spark-side contract (schema, partitioning, Arrow
-batch shape) is real and tested. PNG and GIF payloads decode FOR REAL
-via the pure-stdlib codecs (operators/png.py — DEFLATE ships in zlib;
-operators/gif.py — LZW is integer math), including ANIMATED GIFs, which
+batch shape) is real and tested. PNG, GIF, and baseline JPEG payloads
+decode FOR REAL via the pure-Python codecs (operators/png.py — DEFLATE
+ships in zlib; operators/gif.py — LZW is integer math; operators/
+jpeg.py — Huffman + IDCT are numpy), including ANIMATED GIFs, which
 make ``frame_sample`` a real frame sampler for a real container.
-JPEG/MP3/MP4 decoders are not in this container, so those kernels
-remain STUBS: a clearly-marked deterministic fake behind the same
-``mapInPandas`` signature a real decoder would use. Swapping in a real
-JPEG/ffmpeg decoder changes one function body, not the plan.
+Progressive JPEG and MP3/MP4 decoders are not in this container, so
+those kernels remain STUBS: a clearly-marked deterministic fake behind
+the same ``mapInPandas`` signature a real decoder would use. Swapping
+in an ffmpeg-backed decoder changes one function body, not the plan.
 
 Operators:
   * attach_payload_meta — cheap metadata (byte length, magic-sniffed kind,
@@ -101,6 +102,22 @@ def _real_decode_png(raw: bytes):
     return w, h, c, feats
 
 
+def _real_decode_jpeg(raw: bytes):
+    """REAL decode for payloads that parse as baseline JPEG (pure
+    Python/numpy codec, operators/jpeg.py): same mean/std feature recipe
+    as the PNG/GIF paths."""
+    from .jpeg import decode_jpeg
+
+    w, h, px = decode_jpeg(raw)
+    a = px.astype("float64") / 255.0
+    feats = []
+    for ch in range(3):
+        feats.append(round(float(a[:, :, ch].mean()), 6))
+        feats.append(round(float(a[:, :, ch].std()), 6))
+    feats = (feats + [0.0] * N_FAKE_FEATURES)[:N_FAKE_FEATURES]
+    return w, h, 3, feats
+
+
 def _real_decode_gif(raw: bytes):
     """REAL decode for payloads that parse as GIF (pure-stdlib LZW codec,
     operators/gif.py): first frame's composited RGB canvas, same
@@ -145,6 +162,11 @@ def decode_image_batches(
                 elif kind == "gif":
                     try:
                         w, h, c, f = _real_decode_gif(raw)
+                    except Exception:
+                        w, h, c, f = _fake_decode(raw)
+                elif kind == "jpeg":
+                    try:
+                        w, h, c, f = _real_decode_jpeg(raw)
                     except Exception:
                         w, h, c, f = _fake_decode(raw)
                 else:
