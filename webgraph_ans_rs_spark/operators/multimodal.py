@@ -61,6 +61,11 @@ def attach_payload_meta(df: DataFrame, payload_col: str = "payload") -> DataFram
             F.hex(F.substring(p, 1, len(magic))) == F.lit(magic.hex().upper()),
             F.lit(name),
         ).otherwise(kind)
+    # ISO BMFF puts its magic at byte offset 4 (after the box size)
+    kind = F.when(
+        F.hex(F.substring(p, 5, 4)) == F.lit(b"ftyp".hex().upper()),
+        F.lit("mp4"),
+    ).otherwise(kind)
     return df.withColumns(
         {
             "payload_len": F.length(p).cast("long"),
@@ -274,13 +279,17 @@ def frame_sample(
     REAL (animated) GIFs sample ACTUAL composited frames — frame_md5 is
     the md5 of the frame's RGB canvas bytes, so two visually-identical
     frames dedup — via the pure-stdlib LZW codec (operators/gif.py);
-    anything else (MP4/webm — codecs not in this container — and
-    magic-only fixtures) keeps the deterministic stub, so the DuckDB
-    gate fixture reproduces exactly."""
+    payloads that parse as REAL progressive MP4s sample actual VIDEO
+    SAMPLES via the container's stbl tables (operators/mp4.py) —
+    frame_md5 is the md5 of the sample's compressed payload, the bytes a
+    pipeline ships to a GPU decode stage. Anything else (webm/fragmented
+    mp4 — and magic-only fixtures) keeps the deterministic stub, so the
+    DuckDB gate fixture reproduces exactly."""
     src = df.select(F.col(key_col).alias("key"), F.col(payload_col).alias("payload"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .gif import decode_gif
+        from .mp4 import video_samples
 
         for b in batches:
             keys, idxs, md5s = [], [], []
@@ -296,6 +305,15 @@ def frame_sample(
                         rows = [
                             (fi, hashlib.md5(frames[fi].tobytes()).hexdigest())
                             for fi in range(0, len(frames), every_n)
+                        ][:max_frames]
+                    except Exception:  # malformed/fixture bytes → stub
+                        rows = None
+                elif raw[4:8] == b"ftyp":
+                    try:
+                        _, samples = video_samples(raw)
+                        rows = [
+                            (fi, hashlib.md5(samples[fi]).hexdigest())
+                            for fi in range(0, len(samples), every_n)
                         ][:max_frames]
                     except Exception:  # malformed/fixture bytes → stub
                         rows = None

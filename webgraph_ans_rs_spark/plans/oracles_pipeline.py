@@ -278,10 +278,20 @@ def _kind_case() -> str:
     whose bytes are exactly the UTF-8 encoding of U+001A 'E' U+07E3 —
     chr(26)||chr(69)||chr(2019) in DuckDB (character-based substr, 3 chars
     = those 4 bytes). png (\\x89…) and jpeg (\\xff…) start with invalid
-    UTF-8 lead bytes, so 'unknown' is exact for them."""
+    UTF-8 lead bytes, so 'unknown' is exact for them. The mp4 rule
+    ('ftyp' at BYTE offset 4, checked first like the operator) is
+    byte-exact in character-based DuckDB: 'ftyp' is ASCII so in valid
+    UTF-8 it must start on a character boundary, and a 4-byte prefix
+    spans 1–4 characters — enumerate those (strlen is BYTE length)."""
     webm = "chr(26) || chr(69) || chr(2019)"
+    mp4 = " OR ".join(
+        f"(substr(text, {c + 1}, 4) = 'ftyp'"
+        f" AND strlen(substr(text, 1, {c})) = 4)"
+        for c in range(1, 5)
+    )
     return (
-        "CASE WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'"
+        f"CASE WHEN {mp4} THEN 'mp4'"
+        " WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'"
         " WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'"
         f" WHEN substr(text, 1, 3) = {webm} THEN 'webm'"
         " ELSE 'unknown' END"
