@@ -99,3 +99,44 @@ def test_payload_meta_sniffs_mp4(spark):
         r.key: r.payload_kind for r in attach_payload_meta(df).collect()
     }
     assert kinds == {1: "mp4", 2: "gif"}
+
+
+# ---- MP3 framing (operators/mp3.py) — the audio analogue of the MP4
+# container parser: real framing metadata, PCM stays a labeled stub ----
+
+
+def test_mp3_frame_walk_recovers_stream_parameters():
+    from webgraph_ans_rs_spark.operators.mp3 import build_mp3_fixture, parse_mp3
+
+    raw = build_mp3_fixture(n_frames=7, kbps_idx=9, sr_idx=0)  # 128k/44100
+    meta = parse_mp3(raw)
+    assert meta["sample_rate"] == 44100 and meta["layer"] == 3
+    assert meta["n_frames"] == 7 and meta["n_channels"] == 2
+    assert meta["duration_s"] == pytest.approx(7 * 1152 / 44100, abs=1e-6)
+    assert meta["avg_kbps"] == 128
+    mono = parse_mp3(build_mp3_fixture(n_frames=3, mono=True, id3v2=True))
+    assert mono["n_channels"] == 1 and mono["n_frames"] == 3
+
+
+def test_mp3_strictness_rejects_non_streams():
+    from webgraph_ans_rs_spark.operators.mp3 import build_mp3_fixture, parse_mp3
+
+    raw = build_mp3_fixture(n_frames=4)
+    with pytest.raises(ValueError):
+        parse_mp3(raw[:-10])  # truncated final frame
+    with pytest.raises(ValueError):
+        parse_mp3(b"\xff\xe3" + hashlib.md5(b"a").digest() * 8)  # sync, junk
+    with pytest.raises(ValueError, match="fewer than 2"):
+        parse_mp3(build_mp3_fixture(n_frames=1))
+
+
+def test_decode_audio_real_mp3_framing(spark):
+    from webgraph_ans_rs_spark.operators.mp3 import build_mp3_fixture
+    from webgraph_ans_rs_spark.operators.multimodal import decode_audio_batches
+
+    raw = build_mp3_fixture(n_frames=5)
+    df = spark.createDataFrame([(4, bytearray(raw))], "key long, payload binary")
+    row = decode_audio_batches(df).collect()[0]
+    assert row.kind == "mp3" and row.sample_rate == 44100
+    assert row.n_frames == 5 and row.rms == 0.0
+    assert row.duration_s == pytest.approx(5 * 1152 / 44100, abs=1e-6)

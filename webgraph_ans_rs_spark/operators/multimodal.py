@@ -208,10 +208,13 @@ def decode_audio_batches(
 ) -> DataFrame:
     """mapInPandas audio decode. RIFF/WAVE PCM payloads decode FOR REAL
     via the stdlib ``wave`` module (sample rate, channels, frame count,
-    duration, RMS of the int16 samples — no external codec needed);
-    anything else (mp3/ogg/non-parsing fixtures) falls back to the
-    deterministic stub. Same dispatch discipline as decode_image's PNG
-    path."""
+    duration, RMS of the int16 samples — no external codec needed); MP3
+    payloads get REAL FRAMING metadata (sample rate, channels, frame
+    count, duration from a strict back-to-back frame walk —
+    operators/mp3.py) with rms = 0.0, since PCM synthesis needs a codec
+    this container lacks; anything else (ogg/non-parsing fixtures) falls
+    back to the deterministic stub. Same dispatch discipline as
+    decode_image's PNG path."""
     src = df.select(F.col(key_col).alias("key"), F.col(payload_col).alias("payload"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -219,6 +222,8 @@ def decode_audio_batches(
         import wave
 
         import numpy as np
+
+        from .mp3 import parse_mp3
 
         for b in batches:
             out = {
@@ -251,6 +256,20 @@ def decode_audio_batches(
                             rms = 0.0
                         dur = round(frames / sr, 6) if sr else 0.0
                         kind = "wav"
+                    except Exception:
+                        sr = None
+                if sr is None and (
+                    raw[:3] == b"ID3"
+                    or (len(raw) > 1 and raw[0] == 0xFF and raw[1] & 0xE0 == 0xE0)
+                ):
+                    try:
+                        meta = parse_mp3(raw)
+                        sr = meta["sample_rate"]
+                        ch = meta["n_channels"]
+                        frames = meta["n_frames"]
+                        dur = meta["duration_s"]
+                        rms = 0.0  # PCM synthesis needs a codec — framing only
+                        kind = "mp3"
                     except Exception:
                         sr = None
                 if sr is None:
