@@ -99,14 +99,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # ------------------------- queries -------------------------
 
 
-def _q_outdegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_degrees_inout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out- and in-degree reads consolidated under one dir-tagged gate
+    (registry-cap consolidation, the successors_layouts pattern); each
+    branch is the same per-vertex degree aggregation as before."""
     edges, verts = _graph(spark, sf_dir)
-    return outdegrees(edges, verts)
+    out = outdegrees(edges, verts).select(
+        F.lit("out").alias("dir"), "vertex", F.col("outdeg").alias("deg")
+    )
+    ind = indegrees(edges, verts).select(
+        F.lit("in").alias("dir"), "vertex", F.col("indeg").alias("deg")
+    )
+    return out.unionByName(ind)
 
 
-def _q_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_graph_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global structural summary (nodes/arcs/self-loops/density/avg
+    out-degree/reciprocity/out-in assortativity) — the WebGraph
+    load-time stats family as one long-form Catalyst plan."""
+    from webgraph_ans_rs_spark.operators.graphstats import graph_global_stats
+
     edges, verts = _graph(spark, sf_dir)
-    return indegrees(edges, verts)
+    return graph_global_stats(edges, verts)
 
 
 def _q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,6 +150,29 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, verts = _graph(spark, sf_dir)
     result = pagerank(edges, verts, max_iter=PAGERANK_ITERS, tol=None)
     return result.ranks.select("vertex", F.round("pr", 8).alias("pr"))
+
+
+def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank: arc transition probability = weight share
+    wt/Σwt with the deterministic int-exact weighting
+    wt = 1 + ((src%97) + 3*(dst%97)) % 5, 5 fixed iterations — the
+    anchor-text/link-multiplicity variant a web-graph pipeline runs
+    beside the uniform kernel."""
+    from webgraph_ans_rs_spark.operators.pagerank import pagerank_weighted
+
+    edges, verts = _graph(spark, sf_dir)
+    ew = edges.select(
+        "src",
+        "dst",
+        (
+            F.lit(1)
+            + ((F.col("src") % 97) + F.lit(3) * (F.col("dst") % 97)) % 5
+        )
+        .cast("double")
+        .alias("wt"),
+    )
+    res = pagerank_weighted(ew, verts, damping=0.85, num_iter=PAGERANK_ITERS)
+    return res.ranks.select("vertex", F.round("pr", 6).alias("pr"))
 
 
 def _q_successors_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,30 +518,28 @@ def _q_dedup_resolve(spark, sf_dir):
     return dd.dedup_resolve(_docs(spark, sf_dir))
 
 
-def _q_khop_sample(spark, sf_dir):
-    """Deterministic 2-hop sampled neighborhoods from every 97th doc — the
-    GNN-batch-loader shape; the md5-byte edge sampler is a pure function of
-    (src, dst) so DuckDB regenerates the identical sample."""
-    from webgraph_ans_rs_spark.operators.sampling import khop_neighbors
+def _q_khop_modes(spark, sf_dir):
+    """Both GNN-batch-loader sampling shapes under one mode-tagged gate
+    (registry-cap consolidation): 'sampled' = deterministic 2-hop
+    md5-byte-sampled neighborhoods from every 97th doc; 'capped' =
+    GraphSAGE-style fixed fan-out (4/hop) via exact salted two-stage
+    top-K (no per-seed window sort in the engine)."""
+    from webgraph_ans_rs_spark.operators.sampling import (
+        khop_neighbors,
+        khop_neighbors_capped,
+    )
 
     edges, _ = _graph(spark, sf_dir)
     seeds = _docs(spark, sf_dir).where(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").cast("long").alias("seed")
     )
-    return khop_neighbors(edges, seeds, k=2, pct=30)
-
-
-def _q_khop_capped(spark, sf_dir):
-    """GraphSAGE-style fixed-fan-out sampling: each hop's frontier capped at
-    4 vertices per seed via exact salted two-stage top-K (no per-seed
-    window sort in the engine); same seeds/sampler as khop_sample."""
-    from webgraph_ans_rs_spark.operators.sampling import khop_neighbors_capped
-
-    edges, _ = _graph(spark, sf_dir)
-    seeds = _docs(spark, sf_dir).where(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").cast("long").alias("seed")
+    sampled = khop_neighbors(edges, seeds, k=2, pct=30).select(
+        F.lit("sampled").alias("mode"), "seed", "vertex", "hop"
     )
-    return khop_neighbors_capped(edges, seeds, k=2, pct=30, max_per_hop=4)
+    capped = khop_neighbors_capped(
+        edges, seeds, k=2, pct=30, max_per_hop=4
+    ).select(F.lit("capped").alias("mode"), "seed", "vertex", "hop")
+    return sampled.unionByName(capped)
 
 
 def _q_decode_image(spark, sf_dir):
@@ -746,6 +781,18 @@ def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, seeds, NF_MAX_T)
 
 
+def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled k-bounded Brandes betweenness (Brandes & Pich 2007): the
+    dependency sum from the deterministic seed set vertex % 101 == 0,
+    shortest paths truncated at NF_MAX_T hops, on the main hashed graph
+    (branching ~7 with 16 hub destinations — non-trivial sigma)."""
+    from webgraph_ans_rs_spark.operators.betweenness import betweenness_sampled
+
+    edges, verts = _graph(spark, sf_dir)
+    seeds = verts.where(F.col("vertex") % BFS_SEED_MOD == 0)
+    return betweenness_sampled(edges, seeds, NF_MAX_T)
+
+
 def _q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrustRank-shape personalized PageRank: teleport restricted to the
     deterministic seed set vertex % 101 == 0, 5 iterations, clustered
@@ -830,11 +877,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_image": _q_decode_image,
         "frame_sample": _q_frame_sample,
         "dedup_resolve": _q_dedup_resolve,
-        "khop_sample": _q_khop_sample,
-        "khop_capped": _q_khop_capped,
+        "khop_modes": _q_khop_modes,
         "dense_ids": _q_dense_ids,
-        "outdegree": _q_outdegree,
-        "indegree": _q_indegree,
+        "degrees_inout": _q_degrees_inout,
+        "graph_global_stats": _q_graph_global_stats,
+        "betweenness": _q_betweenness,
         "degree_distribution": _q_degree_distribution,
         "successors": _q_successors,
         "successors_layouts": _q_successors_layouts,
@@ -844,7 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_layout": _q_pagerank_layout,
         "connected_components": _q_connected_components,
         "label_propagation_modes": _q_label_propagation_modes,
-        "triangle_count": _q_triangle_count,
+        "pagerank_weighted": _q_pagerank_weighted,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "transitivity": _q_transitivity,
         "predecessors": _q_predecessors,
@@ -893,14 +940,20 @@ def oracle_sql() -> dict[str, str]:
         "decode_image": op.decode_image_sql(),
         "frame_sample": op.frame_sample_sql(),
         "dedup_resolve": op.dedup_resolve_sql(),
-        "khop_sample": op.khop_sql(dg.hash_edges_sql()),
-        "khop_capped": op.khop_capped_sql(dg.hash_edges_sql(), max_per_hop=4),
+        "khop_modes": (
+            "SELECT 'sampled' AS mode, seed, vertex, hop FROM ("
+            + op.khop_sql(dg.hash_edges_sql())
+            + ") UNION ALL SELECT 'capped' AS mode, seed, vertex, hop FROM ("
+            + op.khop_capped_sql(dg.hash_edges_sql(), max_per_hop=4)
+            + ")"
+        ),
         "dense_ids": (
             "SELECT vertex, CAST(ROW_NUMBER() OVER (ORDER BY vertex) - 1 AS BIGINT)"
             " AS dense_id FROM (SELECT CAST(doc_id AS BIGINT) AS vertex FROM documents)"
         ),
-        "outdegree": oracles.outdegree_sql(),
-        "indegree": oracles.indegree_sql(),
+        "degrees_inout": oracles.degrees_inout_sql(),
+        "graph_global_stats": oracles.graph_global_stats_sql(),
+        "betweenness": oracles.betweenness_sql(NF_MAX_T, BFS_SEED_MOD),
         "degree_distribution": oracles.degree_distribution_sql(),
         "successors": oracles.successors_sql(),
         "successors_layouts": oracles.successors_layouts_sql(SUCC_LAYOUT_TAGS),
@@ -914,7 +967,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation_modes": oracles.label_propagation_modes_sql(
             LP_ITERS, LP_CONV_MAX_ITER
         ),
-        "triangle_count": oracles.triangle_count_sql(),
+        "pagerank_weighted": oracles.pagerank_weighted_sql(PAGERANK_ITERS),
         "triangles_per_vertex": oracles.triangles_per_vertex_sql(),
         "transitivity": oracles.transitivity_sql(),
         "predecessors": oracles.predecessors_sql(),

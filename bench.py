@@ -44,14 +44,27 @@ HEADLINE = [
     "label_propagation_2iter",
     "triangle_count",
 ]
-# the headline suite is FIXED across rounds for comparability; the
-# registry's LP slot was consolidated into label_propagation_modes (the
-# 50-slot cap), so the bench keeps timing the same fixed-2iter query via
-# its still-exported builder
+# the headline suite is FIXED across rounds for comparability; registry
+# slots consolidated under the 50-slot cap (LP → label_propagation_modes,
+# outdegree/indegree → degrees_inout) keep their original timed shapes
+# via these overrides
+
+
+def _outdegree_fixed(spark, sf_dir):
+    from webgraph_ans_rs_spark.operators.degrees import outdegrees
+
+    edges, verts = entry_mod._graph(spark, sf_dir)
+    return outdegrees(edges, verts)
+
+
 HEADLINE_OVERRIDES = {
     "label_propagation_2iter": lambda spark, sf: entry_mod._q_label_propagation(
         spark, sf
     ),
+    "outdegree": _outdegree_fixed,
+    # triangle_count's registry slot consolidated into transitivity (whose
+    # output pins n_triangles); the bench keeps timing the original shape
+    "triangle_count": lambda spark, sf: entry_mod._q_triangle_count(spark, sf),
 }
 
 BENCH_VERTICES = int(os.environ.get("SPARK_GRAFT_BENCH_VERTICES", "2000000"))
@@ -69,7 +82,7 @@ def main() -> None:
     # isn't charged for JVM boot (the reference's protocol is median-of-10
     # on a warm process, script.py:123-142)
     spark.range(0, 1_000_000).agg(F.sum("id")).collect()
-    entry_mod.queries()["outdegree"](spark, sf_dir).count()
+    _outdegree_fixed(spark, sf_dir).count()
     # compile the superstep plan shapes once on a toy graph so the timed
     # pagerank queries measure execution, not first-use codegen (the
     # reference's warm-process protocol, script.py:123-142; cold-codegen
@@ -500,6 +513,37 @@ def main() -> None:
         t0 = time.time()
         cnr_aa_top = _aa_k(cnr_edges).first()
         cnr_aa_sec = round(time.time() - t0, 3)
+        # round-6 kernels: sampled 4-bounded Brandes betweenness (81 seeds
+        # on the real bow-tie structure — per-seed 4-hop balls reach ~1e5
+        # vertices through the hubs, exactly the state-size regime the
+        # (seed,v) pair design is sized for) and weighted PageRank (same
+        # superstep discipline, per-arc weight share)
+        from webgraph_ans_rs_spark.operators.betweenness import (
+            betweenness_sampled as _bt_k,
+        )
+        from webgraph_ans_rs_spark.operators.pagerank import (
+            pagerank_weighted as _wpr_k,
+        )
+
+        t0 = time.time()
+        cnr_bt_n = _bt_k(
+            cnr_edges, cnr_verts.where(F.col("vertex") % 4001 == 0), 4
+        ).count()
+        cnr_bt_sec = round(time.time() - t0, 3)
+        cnr_ew = cnr_edges.select(
+            "src",
+            "dst",
+            (
+                F.lit(1)
+                + ((F.col("src") % 97) + F.lit(3) * (F.col("dst") % 97)) % 5
+            )
+            .cast("double")
+            .alias("wt"),
+        )
+        t0 = time.time()
+        cnr_wpr = _wpr_k(cnr_ew, cnr_verts, num_iter=PR_SUPERSTEPS)
+        cnr_wpr.ranks.count()
+        cnr_wpr_sec = round(time.time() - t0, 3)
         storage["cnr2000"]["kernels"] = {
             "pagerank_5iter_sec": cnr_pr_sec,
             "pagerank_edges_per_sec": round(
@@ -515,6 +559,12 @@ def main() -> None:
             "n_triangles": int(cnr_trans.n_triangles),
             "adamic_adar_sec": cnr_aa_sec,
             "adamic_adar_top_score": None if cnr_aa_top is None else cnr_aa_top.aa,
+            "betweenness_81seed_t4_sec": cnr_bt_sec,
+            "betweenness_vertices_reached": int(cnr_bt_n),
+            "pagerank_weighted_5iter_sec": cnr_wpr_sec,
+            "pagerank_weighted_edges_per_sec": round(
+                PR_SUPERSTEPS * cnr_meta["arcs"] / max(1e-9, cnr_wpr.loop_sec)
+            ),
         }
         cnr_adj.unpersist()
         cnr_edges.unpersist()

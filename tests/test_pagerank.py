@@ -165,3 +165,59 @@ def test_personalized_pagerank_converged_matches_fixed_iters(spark):
     l1_last = sum(abs(got[v] - prev[v]) for v in got)
     assert l1_last <= tol
     assert 1 < iters <= 35
+
+
+def numpy_pagerank_weighted(ews, n, damping=0.85, iters=5):
+    """Independent dense weighted power iteration: transition = wt share."""
+    tw = np.zeros(n)
+    for a, _b, w in ews:
+        tw[a] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for a, b, w in ews:
+            contrib[b] += r[a] * (w / tw[a])
+        dangling = r[tw == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return r
+
+
+def test_pagerank_weighted_uniform_weights_equal_unweighted(spark):
+    from webgraph_ans_rs_spark.operators.pagerank import pagerank_weighted
+
+    edges, verts, es, n = seeded_random_graph(spark, n=60, m=240, seed=3)
+    ew = edges.select("src", "dst", F.lit(1.0).alias("wt"))
+    got_w = {
+        r.vertex: r.pr
+        for r in pagerank_weighted(ew, verts, num_iter=5).ranks.collect()
+    }
+    got_u = {
+        r.vertex: r.pr
+        for r in pagerank(edges, verts, max_iter=5, tol=None).ranks.collect()
+    }
+    assert set(got_w) == set(got_u)
+    for v in got_u:
+        # wn = 1.0/tw vs w = 1.0/outdeg are the same IEEE division here
+        assert abs(got_w[v] - got_u[v]) < 1e-12, v
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    from webgraph_ans_rs_spark.operators.pagerank import pagerank_weighted
+
+    edges, verts, es, n = seeded_random_graph(spark, n=60, m=240, seed=9)
+    ews = [(a, b, float(1 + (a + 3 * b) % 5)) for a, b in es]
+    ew = edges.select(
+        "src",
+        "dst",
+        (F.lit(1) + (F.col("src") + F.lit(3) * F.col("dst")) % 5)
+        .cast("double")
+        .alias("wt"),
+    )
+    want = numpy_pagerank_weighted(ews, n, iters=5)
+    got = {
+        r.vertex: r.pr
+        for r in pagerank_weighted(ew, verts, num_iter=5).ranks.collect()
+    }
+    for v in range(n):
+        assert abs(got[v] - want[v]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9

@@ -38,7 +38,7 @@ sys.path.insert(0, "/root/repo")
 import os
 
 DIRECT = int(os.environ.get("ANS_DIRECT", "256"))  # model symbols below; escape per bit length above
-_B0 = DIRECT.bit_length()  # escapes start at bit length 9
+_B0 = DIRECT.bit_length()  # escape buckets start at this bit length
 
 COMPONENTS = ("src_deltas", "ref_offsets", "blocks", "res_counts",
               "residuals_first", "residuals_rest")

@@ -369,6 +369,30 @@ def main() -> int:
         and "Window" not in ivf_plan,
     )
 
+    # 22. Betweenness: the whole sampled-Brandes pipeline (forward sigma
+    # supersteps + backward dependency folds) must stay JVM-only — no
+    # Python eval in the loop — with the forward sigma aggregation
+    # map-side combinable (partial_sum before its exchange) and no
+    # Window anywhere (the dependency fold is a sorted-array aggregate,
+    # not a per-vertex window sort)
+    from webgraph_ans_rs_spark.operators.betweenness import (
+        betweenness_sampled,
+        brandes_forward_probe,
+    )
+
+    bt_seeds = vertices(docs).where(F.col("vertex") % 101 == 0)
+    bt_fwd = plan_of(brandes_forward_probe(edges, bt_seeds))
+    bt_plan = plan_of(betweenness_sampled(edges, bt_seeds, 2))
+    check(
+        "betweenness: partial_sum sigma forward, partial collect fold, JVM-only, no Window",
+        "partial_sum" in bt_fwd
+        and "partial_collect_list" in bt_plan
+        and all(
+            tok not in bt_fwd + bt_plan
+            for tok in ("BatchEvalPython", "ArrowEvalPython", "Window")
+        ),
+    )
+
     failed = [c for c in checks if not c[1]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan properties hold")
     return 1 if failed else 0

@@ -1,0 +1,93 @@
+"""Global graph statistics: the one-pass structural summary.
+
+The WebGraph toolchain prints exactly this family when it loads a graph
+(nodes, arcs, density, average degree — the reference surfaces
+``num_nodes``/``num_arcs`` through its loader, /root/reference/src/
+bvgraph/reader.rs), and web-graph papers report reciprocity and degree
+assortativity as the first-order shape of a crawl. All of it is
+expressible as hash aggregations and one self-join, so the whole summary
+is a single Catalyst plan: map-side-combinable degree counts, a
+shuffle-hash semi join of the edge table against its own transpose for
+reciprocity, and a streaming Pearson co-moment for assortativity — no
+Python, no windows, no collect. At 100 TB each piece is linear in edges
+with one shuffle keyed (src, dst) or vertex.
+
+Output is long-form (metric, value) so the schema is stable as metrics
+are added.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def graph_global_stats(edges: DataFrame, verts: DataFrame) -> DataFrame:
+    """(metric string, value double) rows:
+
+    - ``n_vertices``, ``n_arcs`` (distinct arcs incl. self-loops),
+      ``n_self_loops``
+    - ``density``            arcs_noself / (n·(n−1))
+    - ``avg_outdeg``         arcs_noself / n
+    - ``reciprocity``        |{(u,v): u≠v, (v,u)∈E}| / |{(u,v): u≠v}|
+    - ``assortativity_out_in`` Pearson corr of (outdeg(src), indeg(dst))
+      over non-self arcs — the directed out→in degree assortativity
+
+    ``edges`` must be distinct (the engine's builders are); self-loops are
+    counted then excluded from the ratio metrics. Ratios are rounded to
+    6 dp: Pearson/ratio drift between engines is float-reorder only
+    (~1e-12), far below the rounding."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    nv = verts.agg(F.count("*").cast("double").alias("n"))
+    tot = edges.agg(
+        F.count("*").cast("double").alias("m_all"),
+        F.sum(
+            F.when(F.col("src") == F.col("dst"), F.lit(1)).otherwise(F.lit(0))
+        ).cast("double").alias("loops"),
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (
+        e.join(rev, ["src", "dst"], "left_semi")
+        .agg(F.count("*").cast("double").alias("r"))
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    indeg = e.groupBy("dst").agg(F.count("*").alias("id_"))
+    # Pearson from covar_pop / stddev_pop with an explicit zero-variance
+    # guard: F.corr's internal division raises under ANSI mode when either
+    # degree sequence is constant (DuckDB's CORR returns NULL there)
+    assort = (
+        e.join(outdeg, "src")
+        .join(indeg, "dst")
+        .agg(
+            F.covar_pop(
+                F.col("od").cast("double"), F.col("id_").cast("double")
+            ).alias("cxy"),
+            F.stddev_pop(F.col("od").cast("double")).alias("sx"),
+            F.stddev_pop(F.col("id_").cast("double")).alias("sy"),
+        )
+        .select(
+            F.when(
+                F.col("sx") * F.col("sy") == 0, F.lit(None).cast("double")
+            )
+            .otherwise(F.col("cxy") / (F.col("sx") * F.col("sy")))
+            .alias("a")
+        )
+    )
+    return (
+        nv.crossJoin(tot)
+        .crossJoin(recip)
+        .crossJoin(assort)
+        .select(
+            F.expr(
+                "stack(7,"
+                " 'n_vertices', n,"
+                " 'n_arcs', m_all,"
+                " 'n_self_loops', loops,"
+                " 'density', round((m_all - loops) / (n * (n - 1.0)), 6),"
+                " 'avg_outdeg', round((m_all - loops) / n, 6),"
+                " 'reciprocity', round(r / (m_all - loops), 6),"
+                " 'assortativity_out_in', round(a, 6)"
+                ") as (metric, value)"
+            )
+        )
+    )

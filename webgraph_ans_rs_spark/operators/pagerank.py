@@ -560,3 +560,118 @@ def _ppr_loop(
         for c in (sv, csr, zeros, dangling_verts):
             if c is not None:
                 c.unpersist()
+
+
+def pagerank_weighted(
+    edges_w: DataFrame,
+    verts: DataFrame,
+    damping: float = 0.85,
+    num_iter: int = 5,
+    shuffle_partitions: int | None = None,
+    truncate_every: int = 3,
+) -> PageRankResult:
+    """Fixed-iteration PageRank over WEIGHTED arcs (src, dst, wt) — the
+    web-graph variant where an arc's transition probability is its weight
+    share wt/Σ_dst wt (anchor-text multiplicity, link position, crawl
+    frequency). Weights must be strictly positive (a zero-total source
+    would need the dangling treatment; the builders guarantee wt >= 1).
+
+    Same superstep discipline as ``pagerank`` (module docstring): the CSR
+    row carries pre-normalized per-successor weights wn = wt/tw computed
+    ONCE at build (an array transform, no per-superstep division), the
+    scatter join is exchange- and sort-free on co-partitioned state, and
+    the gather is the single per-superstep shuffle with map-side partial
+    sums. Dangling = vertices with no out-arc, mass redistributed
+    uniformly; sum(rank) == 1 every iteration."""
+    t_setup = time.time()
+    spark = edges_w.sparkSession
+    n = verts.count()
+    p = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    coalesce_prev = spark.conf.get(coalesce_key, "true")
+    csr = None
+    zeros = None
+    dangling_verts = None
+    try:
+        spark.conf.set(coalesce_key, "false")
+        csr = (
+            edges_w.groupBy("src")
+            .agg(
+                F.collect_list(F.struct(F.col("dst"), F.col("wt"))).alias("prs"),
+                F.sum("wt").alias("tw"),
+            )
+            .select(
+                "src",
+                F.transform(
+                    "prs",
+                    lambda s: F.struct(
+                        s["dst"].alias("dst"), (s["wt"] / F.col("tw")).alias("wn")
+                    ),
+                ).alias("prs"),
+            )
+            .repartition(p, "src")
+            .persist()
+        )
+        csr.count()
+        zeros = verts.select("vertex", F.lit(0.0).alias("c")).persist()
+        zeros.count()
+        dangling_verts = verts.join(
+            csr.select(F.col("src").alias("vertex")), "vertex", "left_anti"
+        ).persist()
+        has_dangling = dangling_verts.count() > 0
+
+        ranks = (
+            verts.select("vertex", F.lit(1.0 / n).alias("pr"))
+            .repartition(p, "vertex")
+            .localCheckpoint(eager=True)
+        )
+        setup_sec = time.time() - t_setup
+        t_loop = time.time()
+        history: list[dict] = []
+        it = 0
+        for it in range(1, num_iter + 1):
+            t0 = time.time()
+            dangling = (
+                ranks.join(dangling_verts, "vertex", "left_semi")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+                .first()[0]
+                if has_dangling
+                else 0.0
+            )
+            base = (1.0 - damping) / n + damping * dangling / n
+            scattered = csr.join(
+                ranks.hint("shuffle_hash"), csr["src"] == ranks["vertex"]
+            ).select(
+                F.explode("prs").alias("e"), "pr"
+            ).select(
+                F.col("e.dst").alias("vertex"),
+                (F.col("pr") * F.col("e.wn")).alias("c"),
+            )
+            new_ranks = (
+                scattered.unionAll(zeros)
+                .groupBy("vertex")
+                .agg(F.sum("c").alias("gathered"))
+                .select(
+                    "vertex",
+                    (F.lit(base) + F.lit(damping) * F.col("gathered")).alias("pr"),
+                )
+            )
+            if it == num_iter or it % truncate_every == 0:
+                new_ranks = new_ranks.localCheckpoint(eager=True)
+            ranks = new_ranks
+            history.append(
+                {"iteration": it, "wall_ms": int((time.time() - t0) * 1000)}
+            )
+        return PageRankResult(
+            ranks=ranks,
+            iterations=it,
+            l1_delta=float("nan"),
+            history=history,
+            setup_sec=setup_sec,
+            loop_sec=time.time() - t_loop,
+        )
+    finally:
+        spark.conf.set(coalesce_key, coalesce_prev)
+        for c in (csr, zeros, dangling_verts):
+            if c is not None:
+                c.unpersist()

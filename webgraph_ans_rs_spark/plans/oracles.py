@@ -841,3 +841,174 @@ def transitivity_sql(round_dp: int = 6) -> str:
         f" w.n_wedges ELSE 0.0 END, {round_dp}) AS global_cc"
         " FROM tri, w"
     )
+
+
+def degrees_inout_sql() -> str:
+    """Consolidated out/in degree gate: both per-vertex degree reads under
+    one dir-tagged union (registry-cap consolidation, the
+    successors_layouts pattern)."""
+    return (
+        f"WITH {_graph_ctes()},\n"
+        "od AS (SELECT v.vertex, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS deg"
+        " FROM verts v LEFT JOIN (SELECT src AS vertex, COUNT(*) AS cnt"
+        " FROM edges GROUP BY 1) c USING (vertex)),\n"
+        "ind AS (SELECT v.vertex, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS deg"
+        " FROM verts v LEFT JOIN (SELECT dst AS vertex, COUNT(*) AS cnt"
+        " FROM edges GROUP BY 1) c USING (vertex))\n"
+        "SELECT 'out' AS dir, vertex, deg FROM od"
+        " UNION ALL SELECT 'in' AS dir, vertex, deg FROM ind"
+    )
+
+
+def graph_global_stats_sql() -> str:
+    """Long-form global summary mirroring graph_global_stats: counts are
+    exact; density/avg_outdeg/reciprocity/assortativity are single float
+    divisions (plus DuckDB's streaming Pearson, which differs from
+    Spark's only by summation order, ~1e-12) — 6dp rounding on both
+    sides."""
+    return (
+        f"WITH {_graph_ctes()},\n"
+        "e AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst),\n"
+        "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),\n"
+        "tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m_all,"
+        " CAST(COALESCE(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END), 0)"
+        " AS DOUBLE) AS loops FROM edges),\n"
+        "recip AS (SELECT CAST(COUNT(*) AS DOUBLE) AS r FROM e"
+        " WHERE EXISTS (SELECT 1 FROM e x WHERE x.src = e.dst AND x.dst = e.src)),\n"
+        "od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),\n"
+        "ind AS (SELECT dst, COUNT(*) AS id_ FROM e GROUP BY dst),\n"
+        "asrt AS (SELECT CASE WHEN sx * sy = 0 THEN NULL ELSE cxy / (sx * sy)"
+        " END AS a FROM (SELECT COVAR_POP(CAST(od.od AS DOUBLE),"
+        " CAST(ind.id_ AS DOUBLE)) AS cxy,"
+        " STDDEV_POP(CAST(od.od AS DOUBLE)) AS sx,"
+        " STDDEV_POP(CAST(ind.id_ AS DOUBLE)) AS sy"
+        " FROM e JOIN od ON od.src = e.src JOIN ind ON ind.dst = e.dst) z)\n"
+        "SELECT * FROM (\n"
+        "SELECT 'n_vertices' AS metric, n AS value FROM nv\n"
+        "UNION ALL SELECT 'n_arcs', m_all FROM tot\n"
+        "UNION ALL SELECT 'n_self_loops', loops FROM tot\n"
+        "UNION ALL SELECT 'density', ROUND((m_all - loops) / (n * (n - 1.0)), 6)"
+        " FROM nv, tot\n"
+        "UNION ALL SELECT 'avg_outdeg', ROUND((m_all - loops) / n, 6) FROM nv, tot\n"
+        "UNION ALL SELECT 'reciprocity', ROUND(r / (m_all - loops), 6)"
+        " FROM recip, tot\n"
+        "UNION ALL SELECT 'assortativity_out_in', ROUND(a, 6) FROM asrt\n"
+        ") x"
+    )
+
+
+def betweenness_sql(max_t: int = 4, seed_mod: int = 101) -> str:
+    """Unrolled Brandes from the deterministic seed set
+    (vertex % seed_mod = 0) with shortest paths truncated at max_t hops,
+    on the main hashed graph. Forward CTEs d0..d{max_t} carry exact
+    shortest-path counts sigma (integer-valued doubles — reorder-proof);
+    backward CTEs b{max_t}..b1 accumulate delta(v) = the fold over
+    next-level successors of sigma_v/sigma_w * (1 + delta_w) — term-for-
+    term the engine's expression. Dependency values are small-denominator
+    rationals that routinely land EXACTLY on decimal half-grids, so the
+    sums are NOT round-stable under reorder; both engines therefore fold
+    in sorted order (successor dst; final cross-seed sum by seed) from a
+    0.0 accumulator — identical IEEE adds on identical inputs, bit-equal
+    doubles into the final ROUND (the HLL-oracle discipline)."""
+    ctes = [
+        _graph_ctes(),
+        f"seeds AS (SELECT vertex FROM verts WHERE vertex % {seed_mod} = 0)",
+        "d0 AS MATERIALIZED (SELECT vertex AS seed, vertex AS v,"
+        " CAST(1 AS DOUBLE) AS sigma FROM seeds)",
+        "s0 AS MATERIALIZED (SELECT seed, v FROM d0)",
+    ]
+    for t in range(1, max_t + 1):
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT p.seed, e.dst AS v, SUM(p.sigma) AS sigma"
+            f" FROM d{t-1} p JOIN edges e ON e.src = p.v"
+            f" LEFT JOIN s{t-1} s ON s.seed = p.seed AND s.v = e.dst"
+            f" WHERE s.v IS NULL GROUP BY p.seed, e.dst)"
+        )
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT seed, v FROM s{t-1}"
+            f" UNION ALL SELECT seed, v FROM d{t})"
+        )
+    ctes.append(
+        f"b{max_t} AS MATERIALIZED (SELECT seed, v, CAST(0 AS DOUBLE) AS delta"
+        f" FROM d{max_t})"
+    )
+    for t in range(max_t - 1, 0, -1):
+        ctes.append(
+            f"b{t} AS MATERIALIZED (SELECT d.seed, d.v,"
+            f" CASE WHEN COUNT(w.sigma) = 0 THEN CAST(0 AS DOUBLE)"
+            f" ELSE list_reduce("
+            f"list(d.sigma / w.sigma * (CAST(1 AS DOUBLE) + bw.delta)"
+            f" ORDER BY e.dst) FILTER (WHERE w.sigma IS NOT NULL),"
+            f" (a, b) -> a + b) END AS delta"
+            f" FROM d{t} d"
+            f" LEFT JOIN edges e ON e.src = d.v"
+            f" LEFT JOIN d{t+1} w ON w.seed = d.seed AND w.v = e.dst"
+            f" LEFT JOIN b{t+1} bw ON bw.seed = d.seed AND bw.v = e.dst"
+            f" GROUP BY d.seed, d.v)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT seed, v, delta FROM b{t}" for t in range(1, max_t + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT v AS vertex,"
+        f" ROUND(list_reduce(list(delta ORDER BY seed), (a, b) -> a + b), 4)"
+        f" AS bc FROM ({unions}) x GROUP BY v"
+    )
+
+
+def pagerank_weighted_sql(
+    num_iter: int = 5, damping: float = _D, round_dp: int = 6
+) -> str:
+    """Unrolled WEIGHTED power iteration mirroring pagerank_weighted's
+    float-op order: arc weight wt = 1 + ((src%97) + 3*(dst%97)) % 5 (the
+    gate's deterministic weighting, int-exact), per-arc share computed as
+    (wt / tw) FIRST then multiplied by pr — the engine pre-normalizes
+    wn = wt/tw at CSR build, so both engines execute the same division
+    then the same multiply; gather summation order differs ~1e-16
+    relative, far below the 6dp rounding (the pagerank-oracle budget)."""
+    one_minus_d = repr(1.0 - damping)
+    d = repr(damping)
+    n = "(SELECT CAST(COUNT(*) AS DOUBLE) FROM verts)"
+    ctes = [
+        _graph_ctes(),
+        (
+            "ew AS MATERIALIZED (SELECT src, dst,"
+            " CAST(1 + ((src % 97) + 3 * (dst % 97)) % 5 AS DOUBLE) AS wt"
+            " FROM edges)"
+        ),
+        (
+            "tw AS MATERIALIZED (SELECT src, SUM(wt) AS tw, COUNT(*) AS cnt"
+            " FROM ew GROUP BY src)"
+        ),
+        (
+            "od AS MATERIALIZED (SELECT v.vertex,"
+            " CAST(COALESCE(t.cnt, 0) AS BIGINT) AS outdeg"
+            " FROM verts v LEFT JOIN tw t ON t.src = v.vertex)"
+        ),
+        f"r0 AS (SELECT vertex, CAST(1.0 AS DOUBLE) / {n} AS pr FROM verts)",
+    ]
+    for i in range(1, num_iter + 1):
+        p = i - 1
+        ctes.append(
+            f"dm{i} AS (SELECT COALESCE(SUM(r.pr), CAST(0.0 AS DOUBLE)) AS m"
+            f" FROM r{p} r JOIN od USING (vertex) WHERE od.outdeg = 0)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT e.dst AS vertex,"
+            f" SUM(r.pr * (e.wt / t.tw)) AS g"
+            f" FROM ew e JOIN r{p} r ON r.vertex = e.src"
+            f" JOIN tw t ON t.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.vertex,"
+            f" (CAST({one_minus_d} AS DOUBLE) / {n}"
+            f" + CAST({d} AS DOUBLE) * (SELECT m FROM dm{i}) / {n})"
+            f" + CAST({d} AS DOUBLE) * COALESCE(s.g, CAST(0.0 AS DOUBLE)) AS pr"
+            f" FROM verts v LEFT JOIN s{i} s USING (vertex))"
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vertex, ROUND(pr, {round_dp}) AS pr FROM r{num_iter}"
+    )
