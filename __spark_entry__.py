@@ -276,6 +276,29 @@ def _q_successors_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_pagerank_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pagerank_5iter + pagerank_layout consolidated under one mode-tagged
+    gate (registry-cap consolidation): 'fixed5' = the flagship
+    fixed-iteration kernel at 8dp, 'layout' = the stats-pass layout path
+    (segmented CSR + explicit shuffle partitions) at 6dp; each branch
+    keeps its original oracle unroll."""
+    fixed = _q_pagerank(spark, sf_dir).select(
+        F.lit("fixed5").alias("mode"), "vertex", "pr"
+    )
+    layout = _q_pagerank_layout(spark, sf_dir).select(
+        F.lit("layout").alias("mode"), "vertex", "pr"
+    )
+    return fixed.unionByName(layout)
+
+
+def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (term, df, tf) top-500 by (tf desc, term) — the
+    tokenizer-training / idf-table primitive, integer-exact."""
+    from webgraph_ans_rs_spark.operators.textstats import vocab_stats
+
+    return vocab_stats(_docs(spark, sf_dir), top_n=500)
+
+
 def _q_pagerank_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stats-pass->layout-driven PageRank path under the driver gate:
     segmented CSR + explicit shuffle partitions; same unrolled oracle,
@@ -886,9 +909,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "successors": _q_successors,
         "successors_layouts": _q_successors_layouts,
         "num_nodes_arcs": _q_num_nodes_arcs,
-        "pagerank_5iter": _q_pagerank,
+        "pagerank_modes": _q_pagerank_modes,
         "pagerank_converged": _q_pagerank_converged,
-        "pagerank_layout": _q_pagerank_layout,
+        "vocab_stats": _q_vocab_stats,
         "connected_components": _q_connected_components,
         "label_propagation_modes": _q_label_propagation_modes,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -958,11 +981,17 @@ def oracle_sql() -> dict[str, str]:
         "successors": oracles.successors_sql(),
         "successors_layouts": oracles.successors_layouts_sql(SUCC_LAYOUT_TAGS),
         "num_nodes_arcs": oracles.num_nodes_arcs_sql(),
-        "pagerank_5iter": oracles.pagerank_sql(PAGERANK_ITERS),
+        "pagerank_modes": (
+            "SELECT 'fixed5' AS mode, vertex, pr FROM ("
+            + oracles.pagerank_sql(PAGERANK_ITERS)
+            + ") UNION ALL SELECT 'layout' AS mode, vertex, pr FROM ("
+            + oracles.pagerank_sql(PAGERANK_ITERS, round_dp=6)
+            + ")"
+        ),
+        "vocab_stats": op.vocab_stats_sql(500),
         "pagerank_converged": oracles.pagerank_converged_sql(
             PR_CONV_MAX_ITER, PR_CONV_DAMPING, PR_CONV_TOL
         ),
-        "pagerank_layout": oracles.pagerank_sql(PAGERANK_ITERS, round_dp=6),
         "connected_components": oracles.connected_components_sql(),
         "label_propagation_modes": oracles.label_propagation_modes_sql(
             LP_ITERS, LP_CONV_MAX_ITER

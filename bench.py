@@ -65,6 +65,8 @@ HEADLINE_OVERRIDES = {
     # triangle_count's registry slot consolidated into transitivity (whose
     # output pins n_triangles); the bench keeps timing the original shape
     "triangle_count": lambda spark, sf: entry_mod._q_triangle_count(spark, sf),
+    # pagerank_5iter + pagerank_layout consolidated into pagerank_modes
+    "pagerank_5iter": lambda spark, sf: entry_mod._q_pagerank(spark, sf),
 }
 
 BENCH_VERTICES = int(os.environ.get("SPARK_GRAFT_BENCH_VERTICES", "2000000"))

@@ -291,3 +291,25 @@ def test_ivf_topk_default_stride_is_derived(spark):
         ).collect()
     )
     assert auto == explicit and len(auto) > 0
+
+
+def test_vocab_stats_analytic(spark):
+    from webgraph_ans_rs_spark.operators.textstats import vocab_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b b c"), (1, "b c c"), (2, "a")],
+        "doc_id long, text string",
+    )
+    rows = {r.term: (r.df, r.tf) for r in vocab_stats(docs, top_n=10).collect()}
+    assert rows == {"a": (2, 2), "b": (2, 3), "c": (2, 3)}
+
+
+def test_vocab_stats_topn_total_order(spark):
+    # ties on tf break by term asc — the top-N set is deterministic
+    from webgraph_ans_rs_spark.operators.textstats import vocab_stats
+
+    docs = spark.createDataFrame(
+        [(0, "x y z w"), (1, "x y z w")], "doc_id long, text string"
+    )
+    got = [r.term for r in vocab_stats(docs, top_n=2).collect()]
+    assert got == ["w", "x"]

@@ -108,3 +108,28 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("fp"),
         F.md5(norm.cast("binary")).alias("fp_norm"),
     )
+
+
+def vocab_stats(docs: DataFrame, top_n: int = 500) -> DataFrame:
+    """(term, df, tf) — the corpus vocabulary table: document frequency
+    and total term frequency of every whitespace token, top ``top_n`` by
+    (tf desc, term asc). This is the tokenizer-training primitive — BPE /
+    WordPiece vocab builders and df-based stopword/idf tables consume
+    exactly this aggregate — and it is integer-exact end to end, so the
+    cross-engine hash needs no float discipline.
+
+    Plan shape (100 TB): explode is narrow; the per-(doc, term) count and
+    the per-term (df, tf) rollup are both map-side-combinable hash aggs
+    (two exchanges keyed (doc_id, term) then term); the top-N is
+    TakeOrderedAndProject — per-partition heads then one driver merge,
+    never a global sort."""
+    per_doc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = per_doc.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("c").cast("long").alias("tf"),
+    )
+    return vocab.orderBy(F.desc("tf"), F.asc("term")).limit(top_n)

@@ -597,3 +597,17 @@ def ann_topk_methods_sql(
         f" UNION ALL SELECT 'ivf' AS method, qa, vb, cos, rn"
         f" FROM ({ivf_topk_sql(query_ids, k)})"
     )
+
+
+def vocab_stats_sql(top_n: int = 500) -> str:
+    """Mirrors textstats.vocab_stats: same single-space tokenizer as
+    token_count_sql, integer-exact df/tf, (tf DESC, term ASC) is a total
+    order (term unique) so both engines select the identical top set."""
+    return (
+        "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term"
+        " FROM documents),\n"
+        "pd AS (SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY 1, 2),\n"
+        "v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,"
+        " CAST(SUM(c) AS BIGINT) AS tf FROM pd GROUP BY term)\n"
+        f"SELECT term, df, tf FROM v ORDER BY tf DESC, term ASC LIMIT {top_n}"
+    )
