@@ -116,11 +116,23 @@ def _q_degrees_inout(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_graph_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global structural summary (nodes/arcs/self-loops/density/avg
     out-degree/reciprocity/out-in assortativity) — the WebGraph
-    load-time stats family as one long-form Catalyst plan."""
-    from webgraph_ans_rs_spark.operators.graphstats import graph_global_stats
+    load-time stats family as one long-form Catalyst plan — plus the
+    Newman modularity of the documents.source (host) partition, the
+    community-quality statistic of a crawl."""
+    from webgraph_ans_rs_spark.operators.graphstats import (
+        graph_global_stats,
+        partition_modularity,
+    )
 
     edges, verts = _graph(spark, sf_dir)
-    return graph_global_stats(edges, verts)
+    hosts = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("vertex"),
+        F.col("source").alias("grp"),
+    )
+    q = partition_modularity(edges, hosts).select(
+        F.lit("modularity_hosts").alias("metric"), "value"
+    )
+    return graph_global_stats(edges, verts).unionByName(q)
 
 
 def _q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -975,7 +987,13 @@ def oracle_sql() -> dict[str, str]:
             " AS dense_id FROM (SELECT CAST(doc_id AS BIGINT) AS vertex FROM documents)"
         ),
         "degrees_inout": oracles.degrees_inout_sql(),
-        "graph_global_stats": oracles.graph_global_stats_sql(),
+        "graph_global_stats": (
+            "SELECT * FROM ("
+            + oracles.graph_global_stats_sql()
+            + ") UNION ALL SELECT * FROM ("
+            + oracles.partition_modularity_sql()
+            + ")"
+        ),
         "betweenness": oracles.betweenness_sql(NF_MAX_T, BFS_SEED_MOD),
         "degree_distribution": oracles.degree_distribution_sql(),
         "successors": oracles.successors_sql(),

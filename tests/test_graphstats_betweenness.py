@@ -142,3 +142,36 @@ def test_graph_global_stats_assortativity_matches_numpy(spark):
     assert got["reciprocity"] == pytest.approx(
         sum(1 for s, d in el if (d, s) in set(el)) / len(el), abs=1e-6
     )
+
+
+def test_partition_modularity_two_cliques(spark):
+    # two triangles {0,1,2} and {3,4,5} joined by one bridge 2-3:
+    # m = 7 undirected edges; perfect 2-community split has
+    # Q = sum_c [intra_c/2m - (deg_c/2m)^2]
+    #   = 2*(6/14 - (7/14)^2) = 2*(3/7 - 1/4) = 5/14
+    from webgraph_ans_rs_spark.operators.graphstats import partition_modularity
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)],
+        "src long, dst long",
+    )
+    groups = spark.createDataFrame(
+        [(v, "a" if v < 3 else "b") for v in range(6)],
+        "vertex long, grp string",
+    )
+    got = partition_modularity(edges, groups).first().value
+    assert got == pytest.approx(5.0 / 14.0, abs=1e-6)
+
+
+def test_partition_modularity_single_community_is_zero(spark):
+    # the whole graph in one community: Q = m'/2m - (2m/2m)^2 ... for the
+    # all-in-one partition intra2 == deg2 == 2m, so Q = 1 - 1 = 0
+    from webgraph_ans_rs_spark.operators.graphstats import partition_modularity
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    groups = spark.createDataFrame(
+        [(v, "all") for v in range(3)], "vertex long, grp string"
+    )
+    assert partition_modularity(edges, groups).first().value == 0.0

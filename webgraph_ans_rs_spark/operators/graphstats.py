@@ -91,3 +91,50 @@ def graph_global_stats(edges: DataFrame, verts: DataFrame) -> DataFrame:
             )
         )
     )
+
+
+def partition_modularity(edges: DataFrame, groups: DataFrame) -> DataFrame:
+    """Single row (value double): Newman modularity Q of a vertex
+    partition (``groups`` = (vertex, grp)) on the undirected simple view
+    of ``edges`` — the community-quality statistic of web-graph practice
+    (host-level clustering of a crawl). Q = Σ_c [ intra_c/2m −
+    (deg_c/2m)² ] with every count taken on the symmetrized arc set
+    (each undirected edge counted in both directions, so 2m = |und|).
+
+    Counts are integer-exact; the per-community term is three float ops
+    mirrored verbatim in the oracle, and the cross-community sum is a
+    sorted fold from 0.0 (community terms are small-denominator rationals
+    — the betweenness half-grid lesson), so both engines round identical
+    doubles. One edges⋈groups join per endpoint (map-side if the group is
+    a pure function of the vertex), one grouped count — linear in edges."""
+    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
+    und = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"])
+    gs = groups.select(F.col("vertex").alias("src"), F.col("grp").alias("sg"))
+    gd = groups.select(F.col("vertex").alias("dst"), F.col("grp").alias("dg"))
+    lab = und.join(gs, "src").join(gd, "dst")
+    per = lab.groupBy("sg").agg(
+        F.count("*").cast("double").alias("deg2"),
+        F.sum(
+            F.when(F.col("sg") == F.col("dg"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("double")
+        .alias("intra2"),
+    )
+    two_m = float(und.count())
+    term = (F.col("intra2") / F.lit(two_m)) - (
+        F.col("deg2") / F.lit(two_m)
+    ) * (F.col("deg2") / F.lit(two_m))
+    return per.select(
+        F.struct(F.col("sg"), term.alias("t")).alias("st")
+    ).agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("st")),
+                F.lit(0.0),
+                lambda acc, s: acc + s["t"],
+            ),
+            6,
+        ).alias("value")
+    )

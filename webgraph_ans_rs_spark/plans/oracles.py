@@ -1012,3 +1012,25 @@ def pagerank_weighted_sql(
         f"WITH {body}\n"
         f"SELECT vertex, ROUND(pr, {round_dp}) AS pr FROM r{num_iter}"
     )
+
+
+def partition_modularity_sql(round_dp: int = 6) -> str:
+    """Newman modularity of the documents.source (host) partition on the
+    undirected simple view — mirrors graphstats.partition_modularity
+    term-for-term: integer-exact counts, per-community term
+    (intra2/2m) − (deg2/2m)², cross-community sum as an ORDER BY sg
+    list_reduce fold (the betweenness half-grid discipline)."""
+    return (
+        f"WITH {_graph_ctes()},\n"
+        "m AS (SELECT CAST(doc_id AS BIGINT) AS v, source FROM documents),\n"
+        "mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS twom FROM und),\n"
+        "lab AS (SELECT ms.source AS sg, md.source AS dg FROM und e"
+        " JOIN m ms ON e.src = ms.v JOIN m md ON e.dst = md.v),\n"
+        "per AS (SELECT sg, CAST(COUNT(*) AS DOUBLE) AS deg2,"
+        " CAST(COALESCE(SUM(CASE WHEN sg = dg THEN 1 ELSE 0 END), 0)"
+        " AS DOUBLE) AS intra2 FROM lab GROUP BY sg)\n"
+        "SELECT 'modularity_hosts' AS metric,"
+        f" ROUND(list_reduce(list((intra2 / (SELECT twom FROM mm))"
+        f" - (deg2 / (SELECT twom FROM mm)) * (deg2 / (SELECT twom FROM mm))"
+        f" ORDER BY sg), (a, b) -> a + b), {round_dp}) AS value FROM per"
+    )
