@@ -16,6 +16,10 @@ Kernels (each an --only selectable step, all written as parquet under
   adamic_adar    top --top-n link predictions (center cap --aa-cap)
   neighborhood   HyperBall NF estimates + harmonic centrality at --hb-p
                  (packed register layout)
+  betweenness    sampled --bt-depth-bounded Brandes from the
+                 vertex %% --bt-seed-mod == 0 seed set
+  stats          global structural summary (density, self-loops,
+                 reciprocity, out-in degree assortativity)
 
 Usage:
   spark-submit --py-files engine.zip jobs/analyze_graph.py \
@@ -57,6 +61,10 @@ def main() -> None:
     ap.add_argument("--hb-t", type=int, default=4)
     ap.add_argument("--top-n", type=int, default=200)
     ap.add_argument("--aa-cap", type=int, default=64)
+    ap.add_argument("--bt-seed-mod", type=int, default=101,
+                    help="betweenness seed set = vertex %% bt-seed-mod == 0")
+    ap.add_argument("--bt-depth", type=int, default=4,
+                    help="betweenness shortest-path truncation depth")
     args = ap.parse_args()
 
     spark = get_spark("analyze-graph")
@@ -121,6 +129,16 @@ def main() -> None:
         edges, verts, args.hb_t, p=args.hb_p))
     step("harmonic", lambda: harmonic_centrality_packed(
         edges, verts, args.hb_t, p=args.hb_p))
+
+    from webgraph_ans_rs_spark.operators.betweenness import betweenness_sampled
+    from webgraph_ans_rs_spark.operators.graphstats import graph_global_stats
+
+    step("betweenness", lambda: betweenness_sampled(
+        edges,
+        verts.where(F.col("vertex") % args.bt_seed_mod == 0),
+        args.bt_depth,
+    ))
+    step("stats", lambda: graph_global_stats(edges, verts))
 
     selected = (
         [s.strip() for s in args.only.split(",")] if args.only else list(steps)

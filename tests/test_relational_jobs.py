@@ -74,8 +74,10 @@ def test_analyze_graph_job(tmp_path, spark):
             "/root/repo/jobs/analyze_graph.py",
             "--edges", edges_dir,
             "--out", out_dir,
-            "--only", "kcore,transitivity,degrees",
+            "--only", "kcore,transitivity,degrees,stats,betweenness",
             "--k", "4",
+            "--bt-seed-mod", "503",
+            "--bt-depth", "2",
         ],
         capture_output=True,
         text=True,
@@ -84,6 +86,8 @@ def test_analyze_graph_job(tmp_path, spark):
     assert r.returncode == 0, r.stderr[-2000:]
     meta = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
     ks = meta["kernels"]
-    assert set(ks) == {"kcore", "transitivity", "degrees"}
+    assert set(ks) == {"kcore", "transitivity", "degrees", "stats", "betweenness"}
     assert ks["transitivity"]["rows"] == 1
     assert ks["degrees"]["rows"] > 0
+    assert ks["stats"]["rows"] == 7
+    assert ks["betweenness"]["rows"] > 0

@@ -3,7 +3,8 @@
 The WebGraph toolchain prints exactly this family when it loads a graph
 (nodes, arcs, density, average degree — the reference surfaces
 ``num_nodes``/``num_arcs`` through its loader, /root/reference/src/
-bvgraph/reader.rs), and web-graph papers report reciprocity and degree
+bvgraph/random_access.rs:118,169 and src/ans/mod.rs:44), and web-graph
+papers report reciprocity and degree
 assortativity as the first-order shape of a crawl. All of it is
 expressible as hash aggregations and one self-join, so the whole summary
 is a single Catalyst plan: map-side-combinable degree counts, a
