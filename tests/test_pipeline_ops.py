@@ -313,3 +313,51 @@ def test_vocab_stats_topn_total_order(spark):
     )
     got = [r.term for r in vocab_stats(docs, top_n=2).collect()]
     assert got == ["w", "x"]
+
+
+def test_tokenizer_cross_engine_parity_adversarial(spark):
+    """The vocab_stats / token_count gates rest on Spark split(text, ' ')
+    and DuckDB string_split(text, ' ') agreeing token-for-token. The
+    driver gate only exercises the synthetic corpus's vocabulary, so pin
+    the contract on adversarial inputs: empties, runs of spaces,
+    leading/trailing spaces, unicode letters, emoji, tabs/newlines
+    (which are NOT delimiters), and long tokens."""
+    import duckdb
+    import pandas as pd
+
+    cases = [
+        "",
+        " ",
+        "  ",
+        "a",
+        "a b",
+        "a  b",
+        " a b ",
+        "tab\there stays one-token",
+        "new\nline stays",
+        "ünïcödé tökens",
+        "emoji 🙂 token",
+        "x" * 5000,
+        ("word " * 200).strip(),
+        "trailing space ",
+        " leading",
+        "a b c d e f g",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got_spark = {
+        r.doc_id: list(r.toks)
+        for r in docs.select(
+            "doc_id", F.split("text", " ").alias("toks")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame({"doc_id": range(len(cases)), "text": cases}))
+    got_duck = {
+        i: list(t)
+        for i, t in con.sql(
+            "SELECT doc_id, string_split(text, ' ') FROM d"
+        ).fetchall()
+    }
+    assert got_spark == got_duck
