@@ -444,8 +444,38 @@ def _q_minhash_lsh(spark, sf_dir):
     return dd.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
-def _q_simhash(spark, sf_dir):
-    return dd.simhash(_docs(spark, sf_dir))
+def _q_simhash_modes(spark, sf_dir):
+    """64-bit SimHash signatures and Hamming-≤3 duplicate pairs under one
+    kind-tagged gate (registry-cap consolidation) — all-BIGINT columns,
+    so the tagged union stays hash-exact."""
+    docs = _docs(spark, sf_dir)
+    sig = dd.simhash(docs).select(
+        F.lit("sig").alias("kind"),
+        F.col("doc_id").alias("x"),
+        F.col("sim_hi").alias("y"),
+        F.col("sim_lo").alias("z"),
+    )
+    pairs = dd.simhash_dup_pairs(docs).select(
+        F.lit("pair").alias("kind"),
+        F.col("a").alias("x"),
+        F.col("b").alias("y"),
+        F.col("hamming").alias("z"),
+    )
+    return sig.unionByName(pairs)
+
+
+def _q_harmonic_exact(spark, sf_dir):
+    """EXACT bounded harmonic centrality on the clustered graph — the
+    exact/approx pairing of the NF family (the packed-HLL harmonic gate
+    estimates the same statistic on the layouts): per-pair distances via
+    level-synchronous expansion, 1/d terms folded in sorted source order
+    (the betweenness half-grid discipline)."""
+    from webgraph_ans_rs_spark.operators.neighborhood import (
+        harmonic_centrality_exact,
+    )
+
+    edges, verts = _clustered(spark, sf_dir)
+    return harmonic_centrality_exact(edges, verts, NF_MAX_T)
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -480,10 +510,6 @@ def _q_sessionize(spark, sf_dir):
     from webgraph_ans_rs_spark.streaming.windows import sessionize
 
     return sessionize(load_table(spark, sf_dir, "events"), gap="30 minutes")
-
-
-def _q_simhash_pairs(spark, sf_dir):
-    return dd.simhash_dup_pairs(_docs(spark, sf_dir))
 
 
 def _q_lsh_topk(spark, sf_dir):
@@ -900,14 +926,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
-        "simhash": _q_simhash,
+        "simhash_modes": _q_simhash_modes,
         "ann_topk_methods": _q_ann_topk_methods,
         "cosine_neardup": _q_cosine_neardup,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
-        "simhash_pairs": _q_simhash_pairs,
+        "harmonic_exact": _q_harmonic_exact,
         "multimodal_meta": _q_multimodal_meta,
         "decode_image": _q_decode_image,
         "frame_sample": _q_frame_sample,
@@ -955,7 +981,13 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": op.exact_dedup_sql(),
         "ngram_jaccard": op.ngram_jaccard_sql(),
         "minhash_lsh": op.minhash_lsh_sql(),
-        "simhash": op.simhash_sql(),
+        "simhash_modes": (
+            "SELECT 'sig' AS kind, doc_id AS x, sim_hi AS y, sim_lo AS z"
+            " FROM (" + op.simhash_sql() + ")"
+            " UNION ALL SELECT 'pair' AS kind, a AS x, b AS y, hamming AS z"
+            " FROM (" + op.simhash_pairs_sql() + ")"
+        ),
+        "harmonic_exact": oracles.harmonic_exact_sql(NF_MAX_T),
         "ann_topk_methods": op.ann_topk_methods_sql(SIM_QUERY_IDS, EMB_DIM),
         "cosine_neardup": op.cosine_neardup_lsh_sql(
             sim.NEARDUP_THRESHOLD,
@@ -970,7 +1002,6 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": op.top_customers_sql(),
         "events_hourly": op.events_hourly_sql(),
         "sessionize": op.sessionize_sql(30),
-        "simhash_pairs": op.simhash_pairs_sql(),
         "multimodal_meta": op.multimodal_meta_sql(),
         "decode_image": op.decode_image_sql(),
         "frame_sample": op.frame_sample_sql(),

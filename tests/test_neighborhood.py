@@ -278,3 +278,32 @@ def test_scatter_combiner_chunks_fanout(monkeypatch):
     got_m = nb._flat_regs(out[0], "regs", m)
     assert list(got_v) == list(range(n_srcs))
     assert (got_m == regs).all()
+
+
+def test_harmonic_centrality_exact_path(spark):
+    # path 0→1→2→3: HC(x) = sum over in-reachers of 1/d:
+    # HC(0)=0, HC(1)=1, HC(2)=1+1/2, HC(3)=1+1/2+1/3
+    from webgraph_ans_rs_spark.operators.neighborhood import (
+        harmonic_centrality_exact,
+    )
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(4)], "vertex long")
+    got = {r.vertex: r.hc for r in harmonic_centrality_exact(edges, verts, 4).collect()}
+    assert got[0] == 0.0
+    assert got[1] == 1.0
+    assert got[2] == 1.5
+    assert abs(got[3] - round(1.0 + 0.5 + 1.0 / 3.0, 6)) < 1e-12
+
+
+def test_harmonic_centrality_exact_depth_bound(spark):
+    # depth 2 truncates the 1/3 term of vertex 3
+    from webgraph_ans_rs_spark.operators.neighborhood import (
+        harmonic_centrality_exact,
+    )
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(4)], "vertex long")
+    got = {r.vertex: r.hc for r in harmonic_centrality_exact(edges, verts, 2).collect()}
+    assert got[3] == 1.5

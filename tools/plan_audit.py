@@ -393,6 +393,20 @@ def main() -> int:
         ),
     )
 
+    # 23. vocab_stats: the top-N must be TakeOrderedAndProject
+    # (per-partition heads + driver merge), never a global Sort+Limit or
+    # a Window; both aggregation stages map-side combinable
+    from webgraph_ans_rs_spark.operators.textstats import vocab_stats
+
+    vs_plan = plan_of(vocab_stats(docs, top_n=500))
+    check(
+        "vocab-stats: TakeOrderedAndProject top-N, partial aggs, no Window",
+        "TakeOrderedAndProject" in vs_plan
+        and "partial_count" in vs_plan
+        and "Window" not in vs_plan
+        and "BatchEvalPython" not in vs_plan,
+    )
+
     failed = [c for c in checks if not c[1]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan properties hold")
     return 1 if failed else 0

@@ -594,3 +594,63 @@ def effective_diameter(
 
     d6 = float(Decimal(repr(d)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
     return spark.createDataFrame([(q, d6)], "q double, d_eff double")
+
+
+def harmonic_centrality_exact(
+    edges: DataFrame, verts: DataFrame, max_t: int
+) -> DataFrame:
+    """(vertex, hc) — EXACT bounded harmonic centrality: HC(x) =
+    Σ_{v≠x, d(v→x) ≤ max_t} 1/d(v→x), the same statistic the packed-HLL
+    harmonic gate estimates (harmonic_centrality_packed) computed exactly
+    — viable when the reachable ball is bounded (clustered graphs,
+    per-community subgraphs), the exact/approx pairing the NF family
+    already has (neighborhood_function_exact vs hyperball).
+
+    Same level-synchronous pair expansion as neighborhood_function_exact
+    but carrying the level at which a (v, u) pair FIRST appears — the
+    exact directed distance (an anti join per level instead of the pair-
+    set dropDuplicates). The 1/d terms are small-denominator rationals
+    (1, 1/2, 1/3 … — sums land exactly on decimal half-grids), so the
+    per-vertex sum folds in sorted source order from 0.0 on both engines
+    (the betweenness discipline) and rounds bit-stably."""
+    dist = verts.select(
+        F.col("vertex").alias("v"), F.col("vertex").alias("u"), F.lit(0).alias("d")
+    ).localCheckpoint(eager=True)
+    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("nu"))
+    for t in range(1, max_t + 1):
+        frontier = dist.where(F.col("d") == t - 1)
+        new = (
+            frontier.join(e, "u")
+            .select("v", F.col("nu").alias("u"))
+            .dropDuplicates(["v", "u"])
+            .join(dist.select("v", "u"), ["v", "u"], "left_anti")
+            .select("v", "u", F.lit(t).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+    hc = (
+        dist.where(F.col("d") >= 1)
+        .select(
+            "u",
+            F.struct(
+                F.col("v"), (F.lit(1.0) / F.col("d").cast("double")).alias("t")
+            ).alias("vt"),
+        )
+        .groupBy("u")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("vt")),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["t"],
+                ),
+                6,
+            ).alias("hc")
+        )
+    )
+    return (
+        verts.join(hc, verts["vertex"] == hc["u"], "left")
+        .select("vertex", F.coalesce("hc", F.lit(0.0)).alias("hc"))
+    )

@@ -1034,3 +1034,24 @@ def partition_modularity_sql(round_dp: int = 6) -> str:
         f" - (deg2 / (SELECT twom FROM mm)) * (deg2 / (SELECT twom FROM mm))"
         f" ORDER BY sg), (a, b) -> a + b), {round_dp}) AS value FROM per"
     )
+
+
+def harmonic_exact_sql(max_t: int = 4, round_dp: int = 6) -> str:
+    """Exact bounded harmonic centrality on the clustered graph: distances
+    read off the exact reachability CTEs (min t per ordered pair), 1/d
+    terms folded per target in sorted source order (list_reduce ORDER BY v
+    — the betweenness half-grid discipline; 1/d are small-denominator
+    rationals), unreached vertices at 0.0."""
+    unions = " UNION ALL ".join(
+        f"SELECT v, u, {t} AS t FROM r{t}" for t in range(1, max_t + 1)
+    )
+    return (
+        f"WITH {_clustered_ctes()},\n{_reach_ctes(max_t)},\n"
+        f"dists AS (SELECT v, u, MIN(t) AS d FROM ({unions}) x"
+        f" WHERE v <> u GROUP BY v, u),\n"
+        f"hcb AS (SELECT u, ROUND(list_reduce("
+        f"list(CAST(1.0 AS DOUBLE) / CAST(d AS DOUBLE) ORDER BY v),"
+        f" (a, b) -> a + b), {round_dp}) AS hc FROM dists GROUP BY u)\n"
+        f"SELECT ve.vertex, COALESCE(h.hc, CAST(0.0 AS DOUBLE)) AS hc"
+        f" FROM verts ve LEFT JOIN hcb h ON h.u = ve.vertex"
+    )
