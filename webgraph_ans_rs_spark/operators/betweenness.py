@@ -70,7 +70,14 @@ def betweenness_sampled(
     order left folds from 0.0 (not hash aggs): dependency values are
     small-denominator rationals that land exactly on decimal half-grids,
     so only bit-identical IEEE adds make the rounded value stable across
-    engines."""
+    engines.
+
+    Scale note: state is (seed, vertex) pairs — seeds × t-hop ball — so
+    at web scale the seed set must be a FIXED sample size k independent
+    of the corpus (the Brandes–Pich estimator's design: accuracy depends
+    on k, not on n/k), e.g. the k smallest xxhash64(vertex). The driver
+    gate's vertex % mod == 0 rule grows with n; it exists for oracle
+    determinism at test scale, not as the production sampling rule."""
     d0 = (
         seeds.select("vertex")
         .dropDuplicates(["vertex"])

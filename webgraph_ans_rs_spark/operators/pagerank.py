@@ -582,7 +582,15 @@ def pagerank_weighted(
     scatter join is exchange- and sort-free on co-partitioned state, and
     the gather is the single per-superstep shuffle with map-side partial
     sums. Dangling = vertices with no out-arc, mass redistributed
-    uniformly; sum(rank) == 1 every iteration."""
+    uniformly; sum(rank) == 1 every iteration.
+
+    Scale note: the weighted CSR is unsegmented — a hub SOURCE's whole
+    (dst, wn) array sits in one row, the same trade as the base
+    ``pagerank`` default. For graphs whose OUT-degree is hub-skewed
+    (rare on the web: fan-in skews, fan-out is author-bounded), port
+    build_csr_segments' split (graph_build.py) with per-segment weight
+    shares — the normalization is per-source, so segments just carry
+    their slice of the already-normalized wn."""
     t_setup = time.time()
     spark = edges_w.sparkSession
     n = verts.count()
