@@ -115,18 +115,30 @@ def hits(
         )
         csr_rev.count()
         zeros = verts.select("vertex", F.lit(0.0).alias("c")).persist()
-        zeros.count()
+        n = zeros.count()
         score = (
             verts.select("vertex", F.lit(1.0).alias("sc"))
             .repartition(p, "vertex")
             .localCheckpoint(eager=True)
         )
-        # unnormalized half-steps (see module docstring: deferred
-        # normalization — the loop stays LAZY between checkpoint barriers)
+        # Conditional overflow guard (round-7): a half-step can grow the
+        # max magnitude by at most a factor n (degree ≤ n, scores start at
+        # 1), so max |score| after h half-steps ≤ n^(h+1). When
+        # (2·num_iter + 1)·log10(n) stays far inside double range the
+        # rescale agg + division are pure overhead and are SKIPPED —
+        # zero extra jobs, identical fixed point (uniform scaling cancels
+        # in the final normalization either way). DBL_MAX is 1e308; 250
+        # leaves two orders of magnitude of slack per half-step.
+        import math
+
+        need_rescale = (2 * num_iter + 1) * math.log10(max(n, 2)) > 250.0
+
         def _rescale(frame):
             # running-max rescale at the (already materialized) barrier:
             # keeps raw magnitudes ~O(1) so long loops never overflow;
             # scaling commutes with the gathers and cancels at the end
+            if not need_rescale:
+                return frame
             m = frame.agg(F.max(F.abs("sc"))).first()[0]
             if not m:  # all-zero frame (edgeless graph) — nothing to scale
                 return frame
@@ -135,22 +147,27 @@ def hits(
         auth_raw = None
         half = 0
         for i in range(num_iter):
+            last = i == num_iter - 1
             auth_raw = _gather(csr_fwd, score, zeros).select(
                 "vertex", F.col("raw").alias("sc")
             )
             half += 1
-            if half % truncate_every == 0:
+            if last:
+                # materialize the FINAL auth frame before the last hub
+                # gather consumes it: it is read three times (the gather,
+                # its total, the final join) — checkpointing it after the
+                # hub gather re-executed the whole half-step (one full
+                # E-sized gather wasted, measured ~0.8 s at 8.6M edges)
+                auth_raw = auth_raw.localCheckpoint(eager=True)
+            elif half % truncate_every == 0:
                 auth_raw = _rescale(auth_raw.localCheckpoint(eager=True))
             score = _gather(csr_rev, auth_raw, zeros).select(
                 "vertex", F.col("raw").alias("sc")
             )
             half += 1
-            if half % truncate_every == 0 and i < num_iter - 1:
+            if half % truncate_every == 0 and not last:
                 score = _rescale(score.localCheckpoint(eager=True))
         hub_raw = score.localCheckpoint(eager=True)
-        # the final auth frame is consumed twice (its total + the join) —
-        # checkpointing it also bounds the replayed lineage
-        auth_raw = auth_raw.localCheckpoint(eager=True)
         atot = auth_raw.agg(F.sum("sc")).first()[0] or 1.0  # 0/None → 1
         htot = hub_raw.agg(F.sum("sc")).first()[0] or 1.0
         return (

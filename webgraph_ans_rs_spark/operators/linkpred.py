@@ -40,8 +40,15 @@ def adamic_adar(
     """(u, v, aa) — top ``top_n`` non-adjacent distance-2 pairs by
     Adamic–Adar score; u < v; score rounded to ``round_dp``."""
     # self-loops excluded: a loop would make a vertex its own "common
-    # neighbor" and inflate its center degree (seen on real web graphs)
-    und = undirected_symmetrize(edges).where(F.col("src") != F.col("dst"))
+    # neighbor" and inflate its center degree (seen on real web graphs).
+    # Materialized once (round-7): the frame feeds the degree table, the
+    # legs build AND the existing-edge anti-join — without the barrier the
+    # symmetrize+dedup shuffle of the full edge set ran twice per call.
+    und = (
+        undirected_symmetrize(edges)
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
     deg = und.groupBy(F.col("src").alias("w")).agg(F.count("*").alias("d"))
     # d >= 2: a degree-1 center spans no wedge, and ln(1) = 0 would put an
     # inf weight in the legs frame

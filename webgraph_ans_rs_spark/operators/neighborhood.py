@@ -149,7 +149,15 @@ def _superstep_plan(
     and sinks keep their own registers via the self row. Pure plan —
     tools/plan_audit.py asserts the shape; ``_superstep`` adds the
     lineage barrier."""
-    gathered = e.join(regs.withColumnRenamed("vertex", "dst"), "dst").select(
+    # shuffle_hash: the planner's default sort-merge costs an E-sized sort
+    # of the cached edge side EVERY superstep plus a V×m sort of the
+    # register side (guide §3.1); the hash build of the V-sized register
+    # frame removes both, and both sides are already hash-partitioned on
+    # the join key (e cached by dst, regs out of the previous gather), so
+    # the steady-state join is exchange-free too.
+    gathered = e.join(
+        regs.withColumnRenamed("vertex", "dst").hint("shuffle_hash"), "dst"
+    ).select(
         F.col("src").alias("vertex"), *reg_cols
     )
     return (

@@ -242,7 +242,6 @@ def pagerank(
     ids = None
     csr = None
     dangling_verts = None
-    zeros = None
     # try/finally: a failure ANYWHERE after the conf snapshot — including
     # the dense-relabel materialization and the CSR build — must not leave
     # AQE partition coalescing disabled for the whole session, nor leak
@@ -282,20 +281,23 @@ def pagerank(
             .repartition(p, "src")
             .persist()
         )
-        csr.count()
-        # zero-contribution seed row per vertex: folds the "apply" outer
-        # join into the gather shuffle (IEEE x+0.0 == x keeps values
-        # unchanged).
-        zeros = verts.select("vertex", F.lit(0.0).alias("c")).persist()
-        zeros.count()
+        n_sources = csr.count()
+        if max_segment is not None:
+            # segmented CSR has >1 row per hub source; count distinct srcs
+            n_sources = csr.select("src").distinct().count()
         # Loop-invariant: dangling vertex set (often empty for web graphs)
-        # — derived from the already-cached CSR via anti join (a vertex
-        # with outdeg > 0 appears in >= 1 CSR row), NOT from a second full
-        # scan+aggregation of the edge table.
-        dangling_verts = verts.join(
-            csr.select(F.col("src").alias("vertex")), "vertex", "left_anti"
-        ).persist()
-        has_dangling = dangling_verts.count() > 0
+        # — a vertex with outdeg > 0 has exactly one CSR row, so
+        # #CSR rows == n proves there are none WITHOUT the V⋈V anti-join
+        # the detection used to pay (the count is already materialized by
+        # the cache priming above); the anti-join is built only when the
+        # counts differ.
+        has_dangling = n_sources < n
+        dangling_verts = None
+        if has_dangling:
+            dangling_verts = verts.join(
+                csr.select(F.col("src").alias("vertex")), "vertex", "left_anti"
+            ).persist()
+            dangling_verts.count()
 
         start_iter = 0
         ranks = verts.select("vertex", F.lit(1.0 / n).alias("pr"))
@@ -315,6 +317,12 @@ def pagerank(
             if resumed is not None:
                 start_iter, ranks = resumed
         ranks = ranks.repartition(p, "vertex").localCheckpoint(eager=True)
+        # zero-contribution seed row per vertex: folds the "apply" outer
+        # join into the gather shuffle (IEEE x+0.0 == x keeps values
+        # unchanged). Derived as a narrow projection of the CHECKPOINTED
+        # initial rank state — same vertex set, but no separate V-sized
+        # persist + count job (round-7: one fewer setup job per call).
+        zeros = ranks.select("vertex", F.lit(0.0).alias("c"))
         setup_sec = time.time() - t_setup
         t_loop = time.time()
 
@@ -365,8 +373,6 @@ def pagerank(
         spark.conf.set(coalesce_key, coalesce_prev)
         if csr is not None:
             csr.unpersist()
-        if zeros is not None:
-            zeros.unpersist()
         if dangling_verts is not None:
             dangling_verts.unpersist()
         if ids is not None:
@@ -481,7 +487,6 @@ def _ppr_loop(
     coalesce_prev = spark.conf.get(coalesce_key, "true")
     sv = None
     csr = None
-    zeros = None
     dangling_verts = None
     try:
         spark.conf.set(coalesce_key, "false")
@@ -498,7 +503,7 @@ def _ppr_loop(
             .repartition(p, "vertex")
             .persist()
         )
-        sv.count()
+        n_verts = sv.count()
         csr = (
             edges.groupBy("src")
             .agg(F.collect_list("dst").alias("dsts"), F.count("*").alias("od"))
@@ -506,17 +511,23 @@ def _ppr_loop(
             .repartition(p, "src")
             .persist()
         )
-        csr.count()
-        zeros = verts.select("vertex", F.lit(0.0).alias("c")).persist()
-        zeros.count()
-        dangling_verts = verts.join(
-            csr.select(F.col("src").alias("vertex")), "vertex", "left_anti"
-        ).persist()
-        has_dangling = dangling_verts.count() > 0
-        pr = (
-            sv.select("vertex", F.col("s").alias("pr"))
-            .repartition(p, "vertex")
-            .localCheckpoint(eager=True)
+        n_sources = csr.count()
+        # zero seed rows ride the cached teleport vector — a narrow
+        # projection, not a third V-sized persist+count
+        zeros = sv.select("vertex", F.lit(0.0).alias("c"))
+        # one CSR row per out-degreed vertex: equal counts prove there is
+        # no dangling mass without the V⋈V anti-join (pagerank discipline)
+        has_dangling = n_sources < n_verts
+        dangling_verts = None
+        if has_dangling:
+            dangling_verts = verts.join(
+                csr.select(F.col("src").alias("vertex")), "vertex", "left_anti"
+            ).persist()
+            dangling_verts.count()
+        # sv is already hash-partitioned (vertex, p) and cached; the
+        # narrow projection preserves that, so no explicit repartition
+        pr = sv.select("vertex", F.col("s").alias("pr")).localCheckpoint(
+            eager=True
         )
         it = 0
         converged = tol is None
@@ -557,7 +568,7 @@ def _ppr_loop(
         return pr, it
     finally:
         spark.conf.set(coalesce_key, coalesce_prev)
-        for c in (sv, csr, zeros, dangling_verts):
+        for c in (sv, csr, dangling_verts):
             if c is not None:
                 c.unpersist()
 
@@ -598,7 +609,6 @@ def pagerank_weighted(
     coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
     coalesce_prev = spark.conf.get(coalesce_key, "true")
     csr = None
-    zeros = None
     dangling_verts = None
     try:
         spark.conf.set(coalesce_key, "false")
@@ -620,19 +630,24 @@ def pagerank_weighted(
             .repartition(p, "src")
             .persist()
         )
-        csr.count()
-        zeros = verts.select("vertex", F.lit(0.0).alias("c")).persist()
-        zeros.count()
-        dangling_verts = verts.join(
-            csr.select(F.col("src").alias("vertex")), "vertex", "left_anti"
-        ).persist()
-        has_dangling = dangling_verts.count() > 0
+        n_sources = csr.count()
+        # equal counts prove no dangling mass — see pagerank()
+        has_dangling = n_sources < n
+        dangling_verts = None
+        if has_dangling:
+            dangling_verts = verts.join(
+                csr.select(F.col("src").alias("vertex")), "vertex", "left_anti"
+            ).persist()
+            dangling_verts.count()
 
         ranks = (
             verts.select("vertex", F.lit(1.0 / n).alias("pr"))
             .repartition(p, "vertex")
             .localCheckpoint(eager=True)
         )
+        # zero seed rows as a narrow projection of the checkpointed rank
+        # state — no separate V-sized persist+count (see pagerank())
+        zeros = ranks.select("vertex", F.lit(0.0).alias("c"))
         setup_sec = time.time() - t_setup
         t_loop = time.time()
         history: list[dict] = []
@@ -680,6 +695,6 @@ def pagerank_weighted(
         )
     finally:
         spark.conf.set(coalesce_key, coalesce_prev)
-        for c in (csr, zeros, dangling_verts):
+        for c in (csr, dangling_verts):
             if c is not None:
                 c.unpersist()

@@ -35,18 +35,59 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
 def orient_by_degree(edges: DataFrame) -> DataFrame:
     """Orient each undirected edge from lower-(degree, id) to higher —
     the hub-safe orientation for skewed graphs."""
-    und = undirected_symmetrize(edges)
+    e, _ = _orient_and_degrees(edges, materialize=False)
+    return e
+
+
+def _orient_and_degrees(
+    edges: DataFrame, materialize: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """(oriented (a, b) edges, per-vertex undirected degree (v, d)).
+
+    ``materialize=True`` (the query path) localCheckpoints the shared
+    stages: the triangle join consumes the oriented set THREE times and
+    ``transitivity`` additionally reads the degree table — without the
+    barrier Catalyst re-executes the whole symmetrize+degree-join subtree
+    per consumer (measured 38 s → 15 s on the 8.6M-edge bench graph,
+    guide §3.3 "materialising an intermediate truncates the plan").
+
+    Degrees exclude self-loops (they are never part of a triangle or a
+    wedge); any (degree, id) orientation is acyclic, so the triangle SET
+    is identical whichever degree convention orients it.
+    """
+    und = undirected_symmetrize(edges).where(F.col("src") != F.col("dst"))
+    if materialize:
+        und = und.localCheckpoint(eager=True)
     deg = und.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+    if materialize:
+        deg = deg.localCheckpoint(eager=True)
+    # shuffle_hash: both joins attach the V-sized degree table to the
+    # E-sized half-edge set — hash build of the small side beats the
+    # planner's default sort-merge (guide §3.1), and stays scale-safe
+    # where a V-sized broadcast would not.
     e = (
         und.where(F.col("src") < F.col("dst"))
-        .join(deg.withColumnRenamed("v", "src").withColumnRenamed("d", "ds"), "src")
-        .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("d", "dd"), "dst")
+        .join(
+            deg.withColumnRenamed("v", "src").withColumnRenamed("d", "ds").hint(
+                "shuffle_hash"
+            ),
+            "src",
+        )
+        .join(
+            deg.withColumnRenamed("v", "dst").withColumnRenamed("d", "dd").hint(
+                "shuffle_hash"
+            ),
+            "dst",
+        )
     )
     fwd = F.when(
         (F.col("ds") < F.col("dd")) | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
         F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
     ).otherwise(F.struct(F.col("dst").alias("a"), F.col("src").alias("b")))
-    return e.select(fwd.alias("e")).select("e.a", "e.b")
+    e = e.select(fwd.alias("e")).select("e.a", "e.b")
+    if materialize:
+        e = e.localCheckpoint(eager=True)
+    return e, deg
 
 
 def triangle_list(edges: DataFrame, orientation: str = "degree") -> DataFrame:
@@ -57,13 +98,23 @@ def triangle_list(edges: DataFrame, orientation: str = "degree") -> DataFrame:
     oracle-comparable pure-SQL form. Both enumerate the same triangles
     (vertex sets are equal; the (a, b, c) naming differs per orientation).
     """
-    e = orient_by_degree(edges) if orientation == "degree" else oriented_edges(edges)
+    if orientation == "degree":
+        e, _ = _orient_and_degrees(edges)
+    else:
+        e = oriented_edges(edges).localCheckpoint(eager=True)
+    return _triangle_join(e)
+
+
+def _triangle_join(e: DataFrame) -> DataFrame:
+    """(a, b, c) triangle join over a MATERIALIZED oriented edge set —
+    e is read three times, so the caller must pass a checkpointed/cached
+    frame or pay the subtree three times."""
     e1 = e.alias("e1")
     e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
     e3 = e.select(F.col("a").alias("a"), F.col("b").alias("c")).alias("e3")
     return (
-        e1.join(e2, "b")
-        .join(e3, ["a", "c"])
+        e1.join(e2.hint("shuffle_hash"), "b")
+        .join(e3.hint("shuffle_hash"), ["a", "c"])
         .select("a", "b", "c")
     )
 
@@ -117,9 +168,11 @@ def transitivity(edges: DataFrame, round_dp: int = 6) -> DataFrame:
     """
     # self-loops excluded from the wedge degrees — the triangle join's
     # src<dst orientation already drops them, and counting them in W
-    # would deflate the coefficient on real graphs (cnr-2000 has them)
-    und = undirected_symmetrize(edges).where(F.col("src") != F.col("dst"))
-    deg = und.groupBy("src").agg(F.count("*").alias("d"))
+    # would deflate the coefficient on real graphs (cnr-2000 has them).
+    # The degree table and the oriented edge set are shared with the
+    # triangle join through one materialized build — W and T cost one
+    # symmetrize pass between them instead of two.
+    e, deg = _orient_and_degrees(edges)
     # d·(d−1) is even, so DIV 2 is exact; the whole count stays in int64
     # (a float sum would lose exactness past 2^53 wedges — reachable at
     # web scale: one 1e7-degree hub alone contributes 5e13)
@@ -128,7 +181,7 @@ def transitivity(edges: DataFrame, round_dp: int = 6) -> DataFrame:
             F.sum(F.expr("d * (d - 1) DIV 2")), F.lit(0).cast("long")
         ).alias("n_wedges")
     )
-    tri = triangle_count(edges)
+    tri = _triangle_join(e).agg(F.count("*").alias("n_triangles"))
     return tri.crossJoin(wedges).select(
         "n_triangles",
         "n_wedges",
