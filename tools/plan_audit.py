@@ -182,9 +182,12 @@ def main() -> int:
         not bad,
         f"(python-eval in: {bad})" if bad else "",
     )
+    # the signature aggregation is audited on the builder frame: the pair
+    # plan now reads the signatures through a materialized barrier
+    # (ExistingRDD), so its plan no longer CONTAINS the aggregation
     check(
         "partial-agg: simhash signature sums are map-side combined",
-        "partial_sum" in pipeline_plans["simhash_pairs"],
+        "partial_sum" in plan_of(dd.simhash(docs.limit(64))),
     )
 
     # 11. label propagation's argmax is an aggregation (map-side partial

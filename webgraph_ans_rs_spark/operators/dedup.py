@@ -185,10 +185,15 @@ def minhash_lsh_pairs(
     """(a, b) distinct candidate pairs sharing at least one LSH band."""
     rows_per_band = k // bands
     sig = minhash_signatures(docs, id_col, k)
+    # materialized once (round-7): both sides of the bucket self-join read
+    # this frame — without the barrier the whole shingle→md5→min pipeline
+    # executes twice. The frame is docs×bands rows of short strings, far
+    # smaller than the shingle set the ngram path deliberately recomputes.
     band_keys = (
         sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
         .agg(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.col("j").cast("string"), "mh")))).alias("key"))
+        .localCheckpoint(eager=True)
     )
     return (
         band_keys.alias("x")
@@ -259,7 +264,11 @@ def simhash_dup_pairs(
     bands = hamming_k + 1
     assert 64 % bands == 0 and 64 // bands <= 32, "need k+1 | 64, width <= 32"
     width = 64 // bands
-    sig = simhash(docs, id_col)
+    # materialized once (round-7): the banded self-join reads the
+    # signature frame on both sides — without the barrier the 64-column
+    # token-sum aggregation executes twice. (doc_id, two longs) per doc is
+    # the cheapest frame in the pipeline to hold.
+    sig = simhash(docs, id_col).localCheckpoint(eager=True)
     band_rows = sig.select(
         "doc_id",
         "sim_hi",

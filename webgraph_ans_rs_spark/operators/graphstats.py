@@ -38,7 +38,16 @@ def graph_global_stats(edges: DataFrame, verts: DataFrame) -> DataFrame:
     counted then excluded from the ratio metrics. Ratios are rounded to
     6 dp: Pearson/ratio drift between engines is float-reorder only
     (~1e-12), far below the rounding."""
-    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    # materialized once (round-7): the non-self arc set feeds the
+    # reciprocity semi-join (both sides), the two degree tables and the
+    # assortativity join — six consumers whose shared subtree (for
+    # derived-graph inputs, a full dedup shuffle) Catalyst would
+    # otherwise re-execute per consumer
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
     nv = verts.agg(F.count("*").cast("double").alias("n"))
     tot = edges.agg(
         F.count("*").cast("double").alias("m_all"),
@@ -109,9 +118,13 @@ def partition_modularity(edges: DataFrame, groups: DataFrame) -> DataFrame:
     doubles. One edges⋈groups join per endpoint (map-side if the group is
     a pure function of the vertex), one grouped count — linear in edges."""
     e = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
-    und = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).dropDuplicates(["src", "dst"])
+    # materialized once (round-7): consumed by the label join AND the
+    # 2m count — each execution re-ran the symmetrize+dedup shuffle
+    und = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
     gs = groups.select(F.col("vertex").alias("src"), F.col("grp").alias("sg"))
     gd = groups.select(F.col("vertex").alias("dst"), F.col("grp").alias("dg"))
     lab = und.join(gs, "src").join(gd, "dst")

@@ -333,10 +333,16 @@ def _init_regs_packed(
     m = 1 << p
     idx, rho = _rho_and_idx(F.col("vertex"), p)
     # tinyint registers: rho ≤ 33−p < 128, and int8 is what crosses the
-    # Arrow boundary in the partial combine — 8× less transfer than int64
-    regs = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda j: F.when(j == idx, rho).otherwise(F.lit(0)).cast("tinyint"),
+    # Arrow boundary in the partial combine — 8× less transfer than int64.
+    # Built as zeros ++ [rho] ++ zeros: the earlier transform(sequence(m))
+    # evaluated a branchy lambda per REGISTER (V·m evals — 11.7 s for
+    # 100k vertices at p=10, the dominant init cost); array_repeat writes
+    # the same array without per-element conditionals (~10× faster).
+    zero = F.lit(0).cast("tinyint")
+    regs = F.concat(
+        F.array_repeat(zero, idx),
+        F.array(rho.cast("tinyint")),
+        F.array_repeat(zero, F.lit(m - 1) - idx),
     )
     out = verts.select("vertex", regs.alias("regs"))
     if num_partitions:
