@@ -105,9 +105,11 @@ def betweenness_sampled(
         if nxt.isEmpty():
             break
         levels.append(nxt)
-        seen = seen.unionByName(nxt.select("seed", "v")).localCheckpoint(
-            eager=True
-        )
+        # the union's branches are all checkpointed level frames, so the
+        # anti-join reads ≤ max_depth cached RDDs — re-materializing the
+        # growing union each level (the round-6 shape) only re-wrote the
+        # whole (seed, v) state per level without bounding anything
+        seen = seen.unionByName(nxt.select("seed", "v"))
     top = len(levels) - 1
     if top == 0:
         # nothing reachable: empty (vertex, bc) frame with the right schema

@@ -187,8 +187,13 @@ def cosine_neardup_pairs_lsh(
         )
         for t in range(bands)
     ]
-    bk = emb.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "id", "bk.band", "bk.bucket"
+    # materialized once (round-7): both sides of the bucket self-join read
+    # this frame — without the barrier the bands·r hyperplane dot products
+    # per row run twice. (id, band, bucket) is three longs per band row.
+    bk = (
+        emb.select("id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select("id", "bk.band", "bk.bucket")
+        .localCheckpoint(eager=True)
     )
     cand = (
         bk.alias("x")
@@ -332,7 +337,10 @@ def ivf_topk(
     cents = emb.where(F.col("vb") % cent_mod == 0).select(
         F.col("vb").alias("cid"), F.col("v").alias("cv")
     )
-    assigned = ivf_assign(emb, cents)
+    # materialized once (round-7): the assignment is the n·√n cosine pass
+    # — it feeds BOTH the query-probe derivation and the candidate scoring
+    # join, and without the barrier it executed twice per call
+    assigned = ivf_assign(emb, cents).localCheckpoint(eager=True)
     q = assigned.where(F.col("vb").isin(query_ids)).select(
         F.col("vb").alias("qa"), F.col("v").alias("qv")
     )
