@@ -47,13 +47,21 @@ from pyspark.sql import functions as F
 
 
 def _csr(edges: DataFrame, p: int, max_segment: int | None) -> DataFrame:
+    from .pagerank import _pin_src_partitions
+
     if max_segment is not None:
         from .graph_build import build_csr_segments
 
         base = build_csr_segments(edges, max_segment)
     else:
         base = edges.groupBy("src").agg(F.collect_list("dst").alias("dsts"))
-    return base.select("src", "dsts").repartition(p, "src").persist()
+    # groupBy("src") already emits HashPartitioning(src, P) — only re-
+    # exchange when the requested p differs or the build was segmented
+    # (grouped by (src, _seg)); see pagerank._pin_src_partitions
+    return _pin_src_partitions(
+        base.select("src", "dsts"), p, edges.sparkSession,
+        force=max_segment is not None,
+    ).persist()
 
 
 def _gather(csr: DataFrame, score: DataFrame, zeros: DataFrame) -> DataFrame:

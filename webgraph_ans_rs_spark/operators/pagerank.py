@@ -61,6 +61,23 @@ class PageRankResult:
     loop_sec: float = 0.0  # superstep loop wall time (the throughput metric)
 
 
+def _pin_src_partitions(csr, p: int, spark, force: bool = False) -> DataFrame:
+    """Pin the CSR to HashPartitioning(src, p) WITHOUT a redundant
+    exchange: ``groupBy("src")`` already emits exactly that partitioning
+    when p equals the session shuffle-partition count (AQE coalescing is
+    off inside the loops), and the explicit ``repartition(p, "src")`` the
+    loops used to add re-exchanged the whole E-sized adjacency a second
+    time per call (round-7; probe-verified that the superstep still plans
+    exactly 1 exchange / 0 sorts without it, and row placement — hence
+    every float partial-sum order — is identical because both paths are
+    the same HashPartitioning). ``force`` covers builds whose grouping
+    keys differ from plain src (the segmented CSR groups by (src, _seg),
+    which does NOT satisfy the scatter join's distribution)."""
+    if force or p != int(spark.conf.get("spark.sql.shuffle.partitions")):
+        return csr.repartition(p, "src")
+    return csr
+
+
 def _superstep_frame(csr, ranks, zeros, base: float, damping: float) -> DataFrame:
     """One superstep: scatter (exchange-free shuffle-hash join + narrow
     explode), gather (the ONE per-superstep shuffle), apply (projection)."""
@@ -276,11 +293,12 @@ def pagerank(
             csr_base = edges.groupBy("src").agg(
                 F.collect_list("dst").alias("dsts"), F.count("*").alias("od")
             )
-        csr = (
-            csr_base.select("src", "dsts", (F.lit(1.0) / F.col("od")).alias("w"))
-            .repartition(p, "src")
-            .persist()
-        )
+        csr = _pin_src_partitions(
+            csr_base.select("src", "dsts", (F.lit(1.0) / F.col("od")).alias("w")),
+            p,
+            spark,
+            force=max_segment is not None,
+        ).persist()
         n_sources = csr.count()
         if max_segment is not None:
             # segmented CSR has >1 row per hub source; count distinct srcs
@@ -504,13 +522,13 @@ def _ppr_loop(
             .persist()
         )
         n_verts = sv.count()
-        csr = (
+        csr = _pin_src_partitions(
             edges.groupBy("src")
             .agg(F.collect_list("dst").alias("dsts"), F.count("*").alias("od"))
-            .select("src", "dsts", (F.lit(1.0) / F.col("od")).alias("w"))
-            .repartition(p, "src")
-            .persist()
-        )
+            .select("src", "dsts", (F.lit(1.0) / F.col("od")).alias("w")),
+            p,
+            spark,
+        ).persist()
         n_sources = csr.count()
         # zero seed rows ride the cached teleport vector — a narrow
         # projection, not a third V-sized persist+count
@@ -627,9 +645,8 @@ def pagerank_weighted(
                     ),
                 ).alias("prs"),
             )
-            .repartition(p, "src")
-            .persist()
         )
+        csr = _pin_src_partitions(csr, p, spark).persist()
         n_sources = csr.count()
         # equal counts prove no dangling mass — see pagerank()
         has_dangling = n_sources < n
