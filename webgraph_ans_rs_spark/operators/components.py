@@ -93,10 +93,17 @@ def connected_components(
         resumed = checkpoint_manager.latest_snapshot(job_id, params=ckpt_params)
         if resumed is not None:
             start_round, e = resumed
+    # round-7: no per-round repartition("src") — the next consumer is the
+    # symmetrizing union (whose output partitioning is unknown to the
+    # planner regardless) followed by a groupBy that shuffles anyway, so
+    # the explicit exchange of the full star edge set bought nothing; the
+    # dedup that canonicalizes each round already leaves a well-spread
+    # HashPartitioning(src, dst). An explicit override is honored when the
+    # caller passes shuffle_partitions (the LayoutPlan path).
     repart = (
         (lambda df: df.repartition(shuffle_partitions, "src"))
         if shuffle_partitions
-        else (lambda df: df.repartition("src"))
+        else (lambda df: df)
     )
     e = repart(e).localCheckpoint(eager=True)
 
@@ -148,10 +155,20 @@ def _star_round(e: DataFrame, repart) -> DataFrame:
         .join(mins, "src")
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .dropDuplicates(["src", "dst"])
+        # materialized (round-7): BOTH small-star branches (the center
+        # mins and the attach join) read this frame — without the barrier
+        # the whole large-star shuffle join executed twice per round
+        .localCheckpoint(eager=True)
     )
     # --- small-star -------------------------------------------------------
-    # input edges are big→small already (large-star emits v > m)
-    smins = large.groupBy("src").agg(F.min("dst").alias("m"))
+    # input edges are big→small already (large-star emits v > m);
+    # smins feeds the attach join AND the center rows — checkpointed so
+    # the per-center min aggregation over the star set runs once
+    smins = (
+        large.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .localCheckpoint(eager=True)
+    )
     attached = (
         large.join(smins, "src")
         .where(F.col("dst") != F.col("m"))
